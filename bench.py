@@ -1,0 +1,74 @@
+"""Benchmark: flagship OmniVGGT (ViT-L, 1.2B-param class) multi-view inference
+throughput at 518 px, the BASELINE.json metric (views/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md); the only
+measurable reference in this environment is the PyTorch reference model on this
+host's CPU. `bench_baseline.json` stores that one-time measurement
+(views/sec, measured via tools/measure_torch_baseline.py); vs_baseline is
+ours / reference. If the file is absent, vs_baseline is null.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from omnivggt_tpu.config import OmniVGGTConfig
+    from omnivggt_tpu.models import omnivggt as M
+
+    S = int(os.environ.get("BENCH_VIEWS", "8"))
+    H = W = 518
+    cfg = OmniVGGTConfig()  # bf16 trunk, fp32 heads
+
+    params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def fwd(params, images):
+        preds = M.apply(params, images, cfg)
+        return preds["pose_enc"], preds["depth"], preds["world_points"]
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, S, H, W, 3)).astype(np.float32))
+
+    # warmup / compile
+    jax.block_until_ready(fwd(params, images))
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    views_per_sec = S * iters / dt
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("views_per_sec"):
+            vs_baseline = views_per_sec / base["views_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "views_per_sec_518px",
+                "value": round(views_per_sec, 4),
+                "unit": "views/sec/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""DPT dense-prediction head (depth / point maps + confidence).
+
+Mirrors /root/reference/omnivggt/heads/dpt_head.py:21-497: per-level
+LayerNorm -> 1x1 projection -> sinusoidal UV pos-embed (x0.1) -> resize
+(4x / 2x transposed conv, identity, stride-2 conv) -> RefineNet-style fusion
+pyramid -> bilinear align_corners=True upsample to full resolution -> output
+convs -> activation split into values + confidence
+(/root/reference/omnivggt/heads/head_act.py:61-125).
+
+TPU-first details:
+  - everything runs NHWC with HWIO kernels; the k==stride transposed convs are
+    expressed as a matmul + pixel-shuffle reshape (exact, MXU-friendly).
+  - frames are processed in chunks of `frames_chunk_size` via lax.map to bound
+    the full-resolution activation memory (the reference chunks by 8,
+    dpt_head.py:152-183).
+  - always fp32 (reference heads run under autocast(enabled=False)).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omnivggt_tpu.config import DPTHeadConfig
+from omnivggt_tpu.ops import layers as L
+from omnivggt_tpu.ops.activations import activate_head
+from omnivggt_tpu.ops.resize import interpolate
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init(key, cfg: DPTHeadConfig):
+    ks = iter(jax.random.split(key, 32))
+    f = cfg.features
+    oc = cfg.out_channels
+
+    def rcu(k):
+        k1, k2 = jax.random.split(k)
+        return {"conv1": L.conv_init(k1, 3, 3, f, f), "conv2": L.conv_init(k2, 3, 3, f, f)}
+
+    def fusion(k, has_residual=True):
+        k1, k2, k3 = jax.random.split(k, 3)
+        p = {"out_conv": L.conv_init(k1, 1, 1, f, f), "rcu2": rcu(k2)}
+        if has_residual:
+            p["rcu1"] = rcu(k3)
+        return p
+
+    params = {
+        "norm": L.layer_norm_init(cfg.dim_in),
+        "projects": [L.conv_init(next(ks), 1, 1, cfg.dim_in, c) for c in oc],
+        "resize": [
+            # ConvTranspose2d(oc0, oc0, k=4, s=4) / (oc1, oc1, k=2, s=2):
+            # stored as torch-layout (in, out, kh, kw) -> flattened matmul
+            {"w": _deconv_init(next(ks), oc[0], oc[0], 4), "b": jnp.zeros((oc[0],))},
+            {"w": _deconv_init(next(ks), oc[1], oc[1], 2), "b": jnp.zeros((oc[1],))},
+            None,
+            L.conv_init(next(ks), 3, 3, oc[3], oc[3]),
+        ],
+        "layer_rn": [
+            {"w": L.conv_init(next(ks), 3, 3, c, f)["w"]} for c in oc  # bias=False
+        ],
+        "refinenet1": fusion(next(ks)),
+        "refinenet2": fusion(next(ks)),
+        "refinenet3": fusion(next(ks)),
+        "refinenet4": fusion(next(ks), has_residual=False),
+        "output_conv1": L.conv_init(
+            next(ks), 3, 3, f, f if cfg.feature_only else f // 2
+        ),
+    }
+    if not cfg.feature_only:
+        params["output_conv2"] = {
+            "conv1": L.conv_init(next(ks), 3, 3, f // 2, 32),
+            "conv2": L.conv_init(next(ks), 1, 1, 32, cfg.output_dim),
+        }
+    return params
+
+
+def _deconv_init(key, in_c, out_c, k):
+    """torch ConvTranspose2d default init, stored (in, out, kh, kw)."""
+    import math
+
+    bound = 1.0 / math.sqrt(out_c * k * k)  # torch fan_in for ConvT = out*k*k
+    return jax.random.uniform(key, (in_c, out_c, k, k), jnp.float32, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _deconv_same_ks(p, x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """ConvTranspose2d with kernel == stride == k, padding 0: each input pixel
+    expands into a k x k output tile — a matmul + pixel shuffle."""
+    B, H, W, Cin = x.shape
+    w = p["w"].astype(x.dtype)  # (in, out, k, k)
+    Cout = w.shape[1]
+    wmat = w.transpose(0, 2, 3, 1).reshape(Cin, k * k * Cout)
+    y = x @ wmat  # (B, H, W, k*k*Cout)
+    y = y.reshape(B, H, W, k, k, Cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(B, H * k, W * k, Cout)
+    return y + p["b"].astype(x.dtype)
+
+
+def _rcu(p, x):
+    # NOTE: the reference's ResidualConvUnit uses nn.ReLU(inplace=True)
+    # (dpt_head.py:315,389), which mutates its input — so the skip connection
+    # effectively adds relu(x), not x. We reproduce that exact semantics.
+    xr = jax.nn.relu(x)
+    out = L.conv2d(p["conv1"], xr, padding=((1, 1), (1, 1)))
+    out = jax.nn.relu(out)
+    out = L.conv2d(p["conv2"], out, padding=((1, 1), (1, 1)))
+    return out + xr
+
+
+def _fusion(p, x, residual=None, size=None):
+    """FeatureFusionBlock (dpt_head.py:402-469): optional residual RCU add,
+    RCU, bilinear align-corners resize, 1x1 out conv."""
+    if residual is not None:
+        x = x + _rcu(p["rcu1"], residual)
+    x = _rcu(p["rcu2"], x)
+    if size is None:
+        size = (x.shape[-3] * 2, x.shape[-2] * 2)
+    x = interpolate(x, size, mode="bilinear", align_corners=True)
+    return L.conv2d(p["out_conv"], x, padding="VALID")
+
+
+@lru_cache(maxsize=64)
+def _uv_pos_embed_np(width: int, height: int, dim: int, aspect_ratio: float, omega_0: float = 100.0):
+    """Sinusoidal embedding of the diagonal-normalised UV grid
+    (heads/utils.py:11-108), precomputed in numpy (static under jit)."""
+    diag = (aspect_ratio**2 + 1.0) ** 0.5
+    span_x, span_y = aspect_ratio / diag, 1.0 / diag
+    xs = np.linspace(-span_x * (width - 1) / width, span_x * (width - 1) / width, width)
+    ys = np.linspace(-span_y * (height - 1) / height, span_y * (height - 1) / height, height)
+    uu, vv = np.meshgrid(xs, ys)  # (height, width)
+    half = dim // 2
+    omega = np.arange(half // 2, dtype=np.float64) / (half / 2.0)
+    omega = 1.0 / omega_0**omega
+
+    def sincos(pos):
+        out = pos.reshape(-1)[:, None] * omega[None, :]
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    emb = np.concatenate([sincos(uu), sincos(vv)], axis=-1).astype(np.float32)
+    return emb.reshape(height, width, dim)
+
+
+def _apply_pos_embed(x: jnp.ndarray, img_w: int, img_h: int, ratio: float = 0.1):
+    h, w, c = x.shape[-3], x.shape[-2], x.shape[-1]
+    pe = jnp.asarray(_uv_pos_embed_np(w, h, c, img_w / img_h)) * ratio
+    return x + pe.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
+    """Process one chunk of frames.
+
+    Args:
+        tokens4: (4, K, n_patch, dim_in) patch tokens of the 4 DPT levels,
+            K = frames in this chunk.
+    Returns:
+        (K, H, W, output_dim) raw head output (pre-activation), or features if
+        cfg.feature_only.
+    """
+    ph, pw = patch_hw
+    H, W = img_hw
+    out_levels = []
+    for lvl in range(4):
+        x = tokens4[lvl].astype(jnp.float32)
+        x = L.layer_norm(params["norm"], x, cfg.ln_eps)
+        x = x.reshape(x.shape[0], ph, pw, cfg.dim_in)
+        x = L.conv2d(params["projects"][lvl], x, padding="VALID")
+        if cfg.pos_embed:
+            x = _apply_pos_embed(x, W, H)
+        if lvl == 0:
+            x = _deconv_same_ks(params["resize"][0], x, 4)
+        elif lvl == 1:
+            x = _deconv_same_ks(params["resize"][1], x, 2)
+        elif lvl == 3:
+            x = L.conv2d(params["resize"][3], x, stride=(2, 2), padding=((1, 1), (1, 1)))
+        out_levels.append(x)
+
+    l1, l2, l3, l4 = [
+        L.conv2d(params["layer_rn"][i], out_levels[i], padding=((1, 1), (1, 1)))
+        for i in range(4)
+    ]
+
+    out = _fusion(params["refinenet4"], l4, size=l3.shape[-3:-1])
+    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-3:-1])
+    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-3:-1])
+    out = _fusion(params["refinenet1"], out, l1)
+    out = L.conv2d(params["output_conv1"], out, padding=((1, 1), (1, 1)))
+
+    target = (
+        int(ph * cfg.patch_size / cfg.down_ratio),
+        int(pw * cfg.patch_size / cfg.down_ratio),
+    )
+    out = interpolate(out, target, mode="bilinear", align_corners=True)
+    if cfg.pos_embed:
+        out = _apply_pos_embed(out, W, H)
+    if cfg.feature_only:
+        return out
+    out = L.conv2d(params["output_conv2"]["conv1"], out, padding=((1, 1), (1, 1)))
+    out = jax.nn.relu(out)
+    out = L.conv2d(params["output_conv2"]["conv2"], out, padding="VALID")
+    return out
+
+
+def apply(params, aggregated_tokens, cfg: DPTHeadConfig, images_hw, patch_start_idx: int,
+          layer_slots):
+    """Run the DPT head.
+
+    Args:
+        aggregated_tokens: (L, B, S, P, dim_in) materialised aggregator layers.
+        layer_slots: indices into L for the 4 levels this head consumes
+            (mapping of cfg.intermediate_layer_idx into the buffer).
+        images_hw: (H, W) of the input images.
+
+    Returns:
+        (preds, conf): (B, S, H, W, output_dim - 1) and (B, S, H, W), or
+        features (B, S, H', W', features) if cfg.feature_only.
+    """
+    H, W = images_hw
+    ph, pw = H // cfg.patch_size, W // cfg.patch_size
+    _, B, S, P, _ = aggregated_tokens.shape
+
+    # (4, B*S, n_patch, dim_in)
+    toks = jnp.stack(
+        [aggregated_tokens[s][:, :, patch_start_idx:] for s in layer_slots]
+    ).reshape(4, B * S, ph * pw, cfg.dim_in)
+
+    K = B * S
+    chunk = cfg.frames_chunk_size or K
+    chunk = min(chunk, K)
+    if K % chunk != 0:
+        # keep shapes static: fall back to one chunk when not divisible
+        divisors = [c for c in range(chunk, 0, -1) if K % c == 0]
+        chunk = divisors[0]
+    n_chunks = K // chunk
+
+    def run_chunk(t4):
+        return _forward_frames(params, t4, cfg, (ph, pw), (H, W))
+
+    if n_chunks == 1:
+        out = run_chunk(toks)
+    else:
+        toks_c = toks.reshape(4, n_chunks, chunk, ph * pw, cfg.dim_in).transpose(1, 0, 2, 3, 4)
+        out = jax.lax.map(run_chunk, toks_c)
+        out = out.reshape(K, *out.shape[2:])
+
+    if cfg.feature_only:
+        return out.reshape(B, S, *out.shape[1:])
+
+    preds, conf = activate_head(
+        out, activation=cfg.activation, conf_activation=cfg.conf_activation
+    )
+    return (
+        preds.reshape(B, S, *preds.shape[1:]),
+        conf.reshape(B, S, *conf.shape[1:]),
+    )

@@ -1,0 +1,207 @@
+"""OmniVGGT top-level model: aggregator + camera head + depth head + point head.
+
+Mirrors /root/reference/omnivggt/models/omnivggt.py:10-68. The forward returns
+the reference's prediction dict:
+  {pose_enc, pose_enc_list, depth, depth_conf, world_points, world_points_conf,
+   images}
+with channels-last layouts (depth: (B,S,H,W,1), world_points: (B,S,H,W,3),
+images: (B,S,H,W,3)).
+
+The aggregator trunk runs in `config.compute_dtype` (bfloat16 by default on
+TPU); the heads always run fp32 (reference: autocast(enabled=False),
+omnivggt.py:45). Only the aggregator layers consumed by the heads are
+materialised.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnivggt_tpu.config import OmniVGGTConfig
+from omnivggt_tpu.models import aggregator as agg
+from omnivggt_tpu.models import camera_head as chead
+from omnivggt_tpu.models import dpt_head as dhead
+from omnivggt_tpu.models.aggregator import AuxInputs
+
+
+def needed_layers(cfg: OmniVGGTConfig):
+    """Union of aggregator layers the heads consume, sorted ascending.
+    The camera head uses the last layer; DPT heads use their
+    intermediate_layer_idx."""
+    layers = {cfg.aggregator.depth - 1}
+    layers.update(cfg.depth_head.intermediate_layer_idx)
+    layers.update(cfg.point_head.intermediate_layer_idx)
+    return tuple(sorted(layers))
+
+
+def init(key, cfg: OmniVGGTConfig):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "aggregator": agg.init(k1, cfg.aggregator),
+        "camera_head": chead.init(k2, cfg.camera_head),
+        "depth_head": dhead.init(k3, cfg.depth_head),
+        "point_head": dhead.init(k4, cfg.point_head),
+    }
+
+
+def apply(
+    params,
+    images: jnp.ndarray,
+    cfg: OmniVGGTConfig,
+    aux: Optional[AuxInputs] = None,
+    *,
+    attn_impl: str = "auto",
+    sharding=None,
+):
+    """Full forward pass.
+
+    Args:
+        images: (B, S, H, W, 3) NHWC float in [0, 1] (a (S, H, W, 3) array is
+            promoted to B=1, mirroring omnivggt.py:31-32).
+        aux: optional AuxInputs with GT camera/depth + frame masks.
+        sharding: optional parallel.sharding.ModelSharding for multi-chip
+            execution.
+
+    Returns:
+        prediction dict (all fp32 except `images`).
+    """
+    if images.ndim == 4:
+        images = images[None]
+    B, S, H, W, _ = images.shape
+    out_layers = needed_layers(cfg)
+
+    tokens_buf, patch_start_idx = agg.apply(
+        params["aggregator"],
+        images,
+        cfg.aggregator,
+        aux,
+        output_layers=out_layers,
+        dtype=cfg.trunk_dtype,
+        attn_impl=attn_impl,
+        sharding=sharding,
+    )
+    tokens_buf = tokens_buf.astype(jnp.float32)
+    slot = {l: i for i, l in enumerate(out_layers)}
+
+    predictions = {}
+    pose_enc_list = chead.apply(
+        params["camera_head"], tokens_buf[slot[cfg.aggregator.depth - 1]], cfg.camera_head
+    )
+    predictions["pose_enc"] = pose_enc_list[-1]
+    predictions["pose_enc_list"] = pose_enc_list
+
+    depth, depth_conf = dhead.apply(
+        params["depth_head"],
+        tokens_buf,
+        cfg.depth_head,
+        (H, W),
+        patch_start_idx,
+        tuple(slot[l] for l in cfg.depth_head.intermediate_layer_idx),
+    )
+    predictions["depth"] = depth
+    predictions["depth_conf"] = depth_conf
+
+    pts3d, pts3d_conf = dhead.apply(
+        params["point_head"],
+        tokens_buf,
+        cfg.point_head,
+        (H, W),
+        patch_start_idx,
+        tuple(slot[l] for l in cfg.point_head.intermediate_layer_idx),
+    )
+    predictions["world_points"] = pts3d
+    predictions["world_points_conf"] = pts3d_conf
+
+    predictions["images"] = images
+    return predictions
+
+
+def make_aux(
+    S: int,
+    extrinsics=None,
+    intrinsics=None,
+    depth=None,
+    mask=None,
+    depth_gt_index: Optional[Sequence[int]] = None,
+    camera_gt_index: Optional[Sequence[int]] = None,
+) -> Optional[AuxInputs]:
+    """Build AuxInputs from reference-style index lists
+    (omnivggt.py:20-28 call signature)."""
+    cam_mask = None
+    if camera_gt_index is not None and len(camera_gt_index) > 0:
+        cam_mask = np.zeros((S,), bool)
+        cam_mask[np.asarray(camera_gt_index)] = True
+    d_mask = None
+    if depth_gt_index is not None and len(depth_gt_index) > 0:
+        d_mask = np.zeros((S,), bool)
+        d_mask[np.asarray(depth_gt_index)] = True
+    if cam_mask is None and d_mask is None:
+        return None
+    return AuxInputs(
+        extrinsics=None if extrinsics is None else jnp.asarray(extrinsics),
+        intrinsics=None if intrinsics is None else jnp.asarray(intrinsics),
+        depth=None if depth is None else jnp.asarray(depth),
+        depth_valid=None if mask is None else jnp.asarray(mask),
+        camera_mask=None if cam_mask is None else jnp.asarray(cam_mask),
+        depth_mask=None if d_mask is None else jnp.asarray(d_mask),
+    )
+
+
+class OmniVGGT:
+    """Convenience wrapper bundling config + params with a jitted forward.
+
+    Functional core stays in `init`/`apply`; this class only mirrors the
+    reference's object API (construct / from_pretrained / __call__ returning
+    the prediction dict).
+    """
+
+    def __init__(self, config: Optional[OmniVGGTConfig] = None, params=None, seed: int = 0):
+        self.config = config or OmniVGGTConfig()
+        self.params = (
+            params
+            if params is not None
+            else init(jax.random.PRNGKey(seed), self.config)
+        )
+        self._jitted = {}
+
+    @classmethod
+    def from_safetensors(cls, path: str, config: Optional[OmniVGGTConfig] = None):
+        from omnivggt_tpu.checkpoint import load_safetensors_params
+
+        config = config or OmniVGGTConfig()
+        return cls(config, load_safetensors_params(path, config))
+
+    def __call__(
+        self,
+        images,
+        extrinsics=None,
+        intrinsics=None,
+        depth=None,
+        mask=None,
+        depth_gt_index: Optional[List[int]] = None,
+        camera_gt_index: Optional[List[int]] = None,
+    ):
+        images = jnp.asarray(images)
+        if images.ndim == 4:
+            images = images[None]
+        S = images.shape[1]
+        aux = make_aux(
+            S, extrinsics, intrinsics, depth, mask, depth_gt_index, camera_gt_index
+        )
+        has_cam = aux is not None and aux.camera_mask is not None
+        has_depth = aux is not None and aux.depth_mask is not None
+        key = (images.shape, has_cam, has_depth)
+        if key not in self._jitted:
+            cfg = self.config
+
+            @jax.jit
+            def fwd(params, images, aux):
+                return apply(params, images, cfg, aux)
+
+            self._jitted[key] = fwd
+        return self._jitted[key](self.params, images, aux)

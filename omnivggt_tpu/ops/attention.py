@@ -1,0 +1,117 @@
+"""Scaled dot-product attention with three interchangeable implementations.
+
+The reference leans on torch F.scaled_dot_product_attention (flash kernels,
+/root/reference/omnivggt/layers/attention.py:60-66). The TPU equivalents here:
+
+  - "xla":       materialised-scores attention. Fine for short sequences
+                 (frame attention, N ~ 1374); XLA fuses softmax into the matmuls.
+  - "blockwise": streaming-softmax attention via lax.scan over key blocks.
+                 O(N * block) memory; runs on any backend (used for CPU tests
+                 and as the differentiable fallback for very long sequences).
+  - "flash":     fused Pallas TPU kernel (ops/pallas/flash_attention.py).
+
+"auto" picks flash on TPU for long sequences, xla for short ones, blockwise on
+non-TPU backends for long ones. All variants take (B, N, H, D) and compute the
+softmax in fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# sequences at or below this length just materialise the score matrix
+_XLA_MAX_SEQ = 4096
+_BLOCK_K = 1024
+
+
+def _attention_xla(q, k, v):
+    """(B, N, H, D) full attention with fp32 softmax."""
+    D = q.shape[-1]
+    scale = D**-0.5
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+
+
+def _attention_blockwise(q, k, v, block_k: int = _BLOCK_K):
+    """Streaming-softmax attention: scan over key blocks with a running
+    (max, denominator, accumulator) carry. Memory O(N_q * block_k)."""
+    B, N, H, D = q.shape
+    scale = D**-0.5
+
+    pad = (-N) % block_k
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    n_blocks = k.shape[1] // block_k
+    kb = k.reshape(B, n_blocks, block_k, H, D)
+    vb = v.reshape(B, n_blocks, block_k, H, D)
+
+    qf = q.astype(jnp.float32) * scale
+
+    def step(carry, kv):
+        m_prev, d_prev, acc_prev = carry
+        k_blk, v_blk, blk_idx = kv
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32))
+        # mask padded keys in the final block
+        key_idx = blk_idx * block_k + jnp.arange(block_k)
+        s = jnp.where(key_idx[None, None, None, :] < N, s, -jnp.inf)
+        m_blk = jnp.max(s, axis=-1)  # (B,H,Q)
+        m_new = jnp.maximum(m_prev, m_blk)
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m_prev - m_new)
+        d_new = d_prev * corr + jnp.sum(p, axis=-1)
+        acc_new = acc_prev * corr[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32)
+        )
+        return (m_new, d_new, acc_new), None
+
+    m0 = jnp.full((B, H, N), -jnp.inf, jnp.float32)
+    d0 = jnp.zeros((B, H, N), jnp.float32)
+    acc0 = jnp.zeros((B, H, N, D), jnp.float32)
+    (m, d, acc), _ = jax.lax.scan(
+        step,
+        (m0, d0, acc0),
+        (
+            jnp.moveaxis(kb, 1, 0),
+            jnp.moveaxis(vb, 1, 0),
+            jnp.arange(n_blocks),
+        ),
+    )
+    out = acc / d[..., None]
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("impl",))
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Non-causal multi-head attention over (B, N, H, D) tensors."""
+    N = q.shape[1]
+    if impl == "auto":
+        if N <= _XLA_MAX_SEQ:
+            impl = "xla"
+        elif jax.default_backend() == "tpu":
+            impl = "flash"
+        else:
+            impl = "blockwise"
+
+    if impl == "xla":
+        return _attention_xla(q, k, v)
+    if impl == "blockwise":
+        return _attention_blockwise(q, k, v)
+    if impl == "flash":
+        from omnivggt_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    raise ValueError(f"unknown attention impl: {impl}")

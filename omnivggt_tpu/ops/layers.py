@@ -1,0 +1,248 @@
+"""Functional transformer layers with explicit pytree parameters.
+
+Design: pure functions over param dicts (no module state). Linear weights are
+stored [in, out] (JAX convention, the transpose of torch), convs are HWIO.
+Semantics track the reference layer zoo:
+  - Mlp: /root/reference/omnivggt/layers/mlp.py:16-40 (GELU is the exact erf form)
+  - LayerScale: /root/reference/omnivggt/layers/layer_scale.py:15-27
+  - Attention (fused QKV, optional per-head-dim q/k LayerNorm, RoPE on q and k):
+    /root/reference/omnivggt/layers/attention.py:21-77
+  - Block (pre-LN, LS residuals): /root/reference/omnivggt/layers/block.py:27-107
+  - PatchEmbed (convolutional patchify): /root/reference/omnivggt/layers/patch_embed.py:25-88
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from omnivggt_tpu.ops.attention import scaled_dot_product_attention
+from omnivggt_tpu.ops.rope import apply_rope
+
+
+# ---------------------------------------------------------------------------
+# Initialisers (match torch defaults closely enough for random-weight tests)
+# ---------------------------------------------------------------------------
+
+
+def linear_init(key, in_features: int, out_features: int, bias: bool = True):
+    """torch nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in)) for both."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_features)
+    p = {"w": jax.random.uniform(kw, (in_features, out_features), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(kb, (out_features,), jnp.float32, -bound, bound)
+    return p
+
+
+def layer_norm_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def conv_init(key, kh: int, kw: int, in_chans: int, out_chans: int, bias: bool = True):
+    """torch nn.Conv2d default init; weight stored HWIO."""
+    k1, k2 = jax.random.split(key)
+    fan_in = in_chans * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": jax.random.uniform(k1, (kh, kw, in_chans, out_chans), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (out_chans,), jnp.float32, -bound, bound)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Primitive applies
+# ---------------------------------------------------------------------------
+
+
+def linear(p, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis; statistics in fp32 regardless of x.dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def mlp(p, x: jnp.ndarray) -> jnp.ndarray:
+    """fc1 -> exact GELU -> fc2."""
+    h = linear(p["fc1"], x)
+    h = jax.nn.gelu(h, approximate=False)
+    return linear(p["fc2"], h)
+
+
+def conv2d(p, x: jnp.ndarray, stride=(1, 1), padding="SAME") -> jnp.ndarray:
+    """NHWC conv with HWIO weights."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Attention + Block
+# ---------------------------------------------------------------------------
+
+
+def attention_init(key, dim: int, *, qkv_bias=True, proj_bias=True, qk_norm=False, num_heads: int):
+    ks = jax.random.split(key, 2)
+    head_dim = dim // num_heads
+    p = {
+        "qkv": linear_init(ks[0], dim, dim * 3, bias=qkv_bias),
+        "proj": linear_init(ks[1], dim, dim, bias=proj_bias),
+    }
+    if qk_norm:
+        p["q_norm"] = layer_norm_init(head_dim)
+        p["k_norm"] = layer_norm_init(head_dim)
+    return p
+
+
+def attention(
+    p,
+    x: jnp.ndarray,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    ln_eps: float = 1e-5,
+    impl: str = "auto",
+    shard=None,
+) -> jnp.ndarray:
+    """Multi-head self-attention with fused QKV, optional per-head-dim q/k
+    LayerNorm, and 2D RoPE applied to q and k.
+
+    Args:
+        x: (B, N, C) tokens.
+        rope_cos/rope_sin: (N, head_dim) precomputed axial RoPE tables (or None).
+        shard: optional AttnShard (parallel/sharding.py) selecting a
+            mesh-parallel attention strategy.
+    """
+    B, N, C = x.shape
+    head_dim = C // num_heads
+    qkv = linear(p["qkv"], x).reshape(B, N, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+
+    if "q_norm" in p:
+        q = layer_norm(p["q_norm"], q, ln_eps)
+        k = layer_norm(p["k_norm"], k, ln_eps)
+
+    if rope_cos is not None:
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+
+    if shard is not None:
+        o = shard.attend(q, k, v, impl)
+    else:
+        o = scaled_dot_product_attention(q, k, v, impl=impl)  # (B, N, H, D)
+    o = o.reshape(B, N, C)
+    return linear(p["proj"], o)
+
+
+def block_init(
+    key,
+    dim: int,
+    num_heads: int,
+    *,
+    mlp_ratio: float = 4.0,
+    qkv_bias=True,
+    proj_bias=True,
+    ffn_bias=True,
+    init_values: Optional[float] = None,
+    qk_norm=False,
+):
+    ks = jax.random.split(key, 3)
+    hidden = int(dim * mlp_ratio)
+    p = {
+        "norm1": layer_norm_init(dim),
+        "attn": attention_init(
+            ks[0], dim, qkv_bias=qkv_bias, proj_bias=proj_bias, qk_norm=qk_norm, num_heads=num_heads
+        ),
+        "norm2": layer_norm_init(dim),
+        "mlp": {
+            "fc1": linear_init(ks[1], dim, hidden, bias=ffn_bias),
+            "fc2": linear_init(ks[2], hidden, dim, bias=ffn_bias),
+        },
+    }
+    if init_values:
+        p["ls1"] = {"gamma": jnp.full((dim,), init_values, jnp.float32)}
+        p["ls2"] = {"gamma": jnp.full((dim,), init_values, jnp.float32)}
+    return p
+
+
+def block(
+    p,
+    x: jnp.ndarray,
+    rope_cos: Optional[jnp.ndarray] = None,
+    rope_sin: Optional[jnp.ndarray] = None,
+    *,
+    num_heads: int,
+    ln_eps: float = 1e-5,
+    attn_impl: str = "auto",
+    shard=None,
+) -> jnp.ndarray:
+    """Pre-LN transformer block:
+       x += LS1(Attn(LN(x), rope)); x += LS2(MLP(LN(x)))."""
+    h = attention(
+        p["attn"],
+        layer_norm(p["norm1"], x, ln_eps),
+        rope_cos,
+        rope_sin,
+        num_heads=num_heads,
+        ln_eps=ln_eps,
+        impl=attn_impl,
+        shard=shard,
+    )
+    if "ls1" in p:
+        h = h * p["ls1"]["gamma"].astype(h.dtype)
+    x = x + h
+    h = mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps))
+    if "ls2" in p:
+        h = h * p["ls2"]["gamma"].astype(h.dtype)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# PatchEmbed
+# ---------------------------------------------------------------------------
+
+
+def patch_embed_init(key, patch_size: int, in_chans: int, embed_dim: int):
+    return {"proj": conv_init(key, patch_size, patch_size, in_chans, embed_dim)}
+
+
+def patch_embed(p, x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(B, H, W, C_in) NHWC image -> (B, N, D) patch tokens.
+
+    Patchify-as-matmul: a stride-p conv with kernel p is a reshape + one dense
+    matmul, which maps straight onto the MXU instead of a conv kernel.
+    """
+    B, H, W, C = x.shape
+    if H % patch_size or W % patch_size:
+        raise ValueError(f"image size {(H, W)} not divisible by patch size {patch_size}")
+    gh, gw = H // patch_size, W // patch_size
+    x = x.reshape(B, gh, patch_size, gw, patch_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, patch_size * patch_size * C)
+    # HWIO kernel -> ((p*p*C), D) matrix with matching (ph, pw, C) index order
+    w = p["proj"]["w"].astype(x.dtype).reshape(patch_size * patch_size * C, -1)
+    y = x @ w
+    if "b" in p["proj"]:
+        y = y + p["proj"]["b"].astype(x.dtype)
+    return y

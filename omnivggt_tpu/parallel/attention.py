@@ -1,0 +1,129 @@
+"""Sequence-sharded attention over a device mesh (the SURVEY.md §5
+"long-context / sequence parallelism" subsystem the reference lacks).
+
+Two strategies for the global-attention stage, both expressed with shard_map
+so the Pallas flash kernel stays usable per shard:
+
+  - all-gather KV ("allgather"): queries stay sharded over the sequence axis;
+    K and V are all-gathered across ICI and each device runs local flash
+    attention against the full keys. Communication O(N * C), compute balanced.
+    The default — on a v5e slice the KV gather rides ICI and overlaps with the
+    previous layer's compute.
+
+  - ring ("ring"): K/V blocks rotate around the ring with lax.ppermute while
+    each device accumulates streaming-softmax partials (the blockwise flash
+    recurrence). Memory O(N_local) per device; communication pipelined with
+    compute. Preferred once N * C exceeds the per-chip HBM headroom for a
+    gathered KV.
+
+Both take (B, N, H, D) with N sharded over `seq_axis` and return the same
+sharding. Exact (not approximate): validated against single-device attention
+in tests/test_parallel.py on the 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from omnivggt_tpu.ops.attention import scaled_dot_product_attention
+
+
+def _qkv_spec(seq_axis):
+    return P(None, seq_axis, None, None)
+
+
+def allgather_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Sequence-sharded attention with all-gathered KV."""
+    spec = _qkv_spec(seq_axis)
+
+    def inner(q, k, v):
+        k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
+        return scaled_dot_product_attention(q, k_full, v_full, impl=impl)
+
+    return shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """Sequence-sharded ring attention: KV rotates, each device keeps a
+    streaming-softmax (max, denom, acc) carry. Exact."""
+    spec = _qkv_spec(seq_axis)
+
+    def inner(q, k, v):
+        B, Nq, H, D = q.shape
+        n_dev = jax.lax.psum(1, seq_axis)
+        scale = D**-0.5
+        qf = q.astype(jnp.float32) * scale
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def step(carry, _):
+            m_prev, d_prev, acc_prev, k_cur, v_cur = carry
+            s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_cur.astype(jnp.float32))
+            m_blk = jnp.max(s, axis=-1)
+            m_new = jnp.maximum(m_prev, m_blk)
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m_prev - m_new)
+            d_new = d_prev * corr + jnp.sum(p, axis=-1)
+            acc_new = acc_prev * corr[..., None] + jnp.einsum(
+                "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
+            )
+            k_nxt = jax.lax.ppermute(k_cur, seq_axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, seq_axis, perm)
+            return (m_new, d_new, acc_new, k_nxt, v_nxt), None
+
+        m0 = jnp.full((B, H, Nq), -jnp.inf, jnp.float32)
+        d0 = jnp.zeros((B, H, Nq), jnp.float32)
+        acc0 = jnp.zeros((B, H, Nq, D), jnp.float32)
+        (m, d, acc, _, _), _ = jax.lax.scan(
+            step, (m0, d0, acc0, k, v), None, length=n_dev
+        )
+        out = acc / d[..., None]
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
+
+    return shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+def rows_sharded_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    rows_spec: P,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Embarrassingly-parallel attention with the batch/rows dim sharded
+    (frame attention: each frame attends within itself, no communication).
+    shard_map keeps the Pallas kernel usable per shard."""
+    spec = P(rows_spec, None, None, None) if isinstance(rows_spec, (str, tuple)) else rows_spec
+
+    def inner(q, k, v):
+        return scaled_dot_product_attention(q, k, v, impl=impl)
+
+    return shard_map(
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)

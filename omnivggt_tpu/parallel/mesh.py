@@ -1,0 +1,71 @@
+"""Device mesh construction for multi-chip execution.
+
+The reference is strictly single-device (SURVEY.md §2.6); this subsystem is the
+TPU-native replacement for the distributed layer it lacks: one global
+`jax.sharding.Mesh` with axes
+
+  - "data": scene/batch parallelism (DCN-friendly; cross-host)
+  - "seq":  sequence parallelism over frames / tokens (ICI; the axis the
+            global-attention stage communicates over)
+
+Frame attention, patch embed and DPT heads shard trivially over "seq" (each
+frame independent); global attention all-gathers or ring-permutes KV across
+"seq" (parallel/attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SEQ_AXIS = "seq"
+
+
+def make_mesh(
+    data: int = 1, seq: Optional[int] = None, devices=None
+) -> Mesh:
+    """Build a (data, seq) mesh. With seq=None, all remaining devices go to the
+    sequence axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if seq is None:
+        if n % data != 0:
+            raise ValueError(f"{n} devices not divisible by data={data}")
+        seq = n // data
+    if data * seq != n:
+        devices = devices[: data * seq]
+    dev_array = np.asarray(devices).reshape(data, seq)
+    return Mesh(dev_array, (DATA_AXIS, SEQ_AXIS))
+
+
+def multihost_initialize(**kwargs) -> None:
+    """jax.distributed bring-up for multi-host slices (no-op if single)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialised or single-process
+
+
+def frames_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, S, ...) arrays: batch over data, frames over seq."""
+    return NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a pytree of (B, S, ...) arrays onto the mesh (frames over seq)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS, *([None] * (x.ndim - 2))))
+        )
+        if hasattr(x, "ndim") and x.ndim >= 2
+        else x,
+        tree,
+    )

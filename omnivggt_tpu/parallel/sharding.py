@@ -1,0 +1,73 @@
+"""Sharding strategy objects threaded through the model.
+
+`AttnShard` selects a mesh-parallel attention strategy per call site:
+  - rows:       batch/frames dim sharded, no communication (frame attention,
+                DINOv2 per-image attention)
+  - allgather:  sequence dim sharded, KV all-gathered over ICI (global attn)
+  - ring:       sequence dim sharded, KV ring-rotated with ppermute
+
+`ModelSharding` bundles the mesh + the specs the aggregator uses to constrain
+activations so XLA partitions the pointwise work along the same axes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from omnivggt_tpu.parallel import attention as pattn
+from omnivggt_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+
+@dataclass(frozen=True)
+class AttnShard:
+    mesh: Mesh
+    kind: str  # "rows" | "allgather" | "ring"
+    axis: object = (DATA_AXIS, SEQ_AXIS)  # rows spec or seq axis name
+
+    def attend(self, q, k, v, impl):
+        if self.kind == "rows":
+            return pattn.rows_sharded_attention(
+                q, k, v, self.mesh, self.axis, impl=impl
+            )
+        if self.kind == "allgather":
+            return pattn.allgather_attention(q, k, v, self.mesh, self.axis, impl=impl)
+        if self.kind == "ring":
+            return pattn.ring_attention(q, k, v, self.mesh, self.axis)
+        raise ValueError(self.kind)
+
+
+@dataclass(frozen=True)
+class ModelSharding:
+    """How the OmniVGGT forward is laid out on the mesh."""
+
+    mesh: Mesh
+    global_attn: str = "allgather"  # or "ring"
+
+    def constrain(self, x, *spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*spec))
+        )
+
+    def constrain_frames(self, x):
+        """(B, S, ...) -> batch over data, frames over seq."""
+        return self.constrain(x, DATA_AXIS, SEQ_AXIS, *([None] * (x.ndim - 2)))
+
+    def constrain_rows(self, x):
+        """(B*S, ...) flattened rows over (data, seq)."""
+        return self.constrain(x, (DATA_AXIS, SEQ_AXIS), *([None] * (x.ndim - 1)))
+
+    @property
+    def frame_attn_shard(self) -> AttnShard:
+        return AttnShard(self.mesh, "rows", (DATA_AXIS, SEQ_AXIS))
+
+    @property
+    def global_attn_shard(self) -> AttnShard:
+        return AttnShard(self.mesh, self.global_attn, SEQ_AXIS)
+
+    def constrain_tokens_global(self, x):
+        """(B, S*P, C) global-attention layout: sequence over seq axis."""
+        return self.constrain(x, DATA_AXIS, SEQ_AXIS, None)

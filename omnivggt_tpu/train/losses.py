@@ -1,0 +1,94 @@
+"""Training losses for OmniVGGT.
+
+The reference releases no training code (/root/reference/README.md:201-205);
+these losses follow the VGGT recipe the model family was trained with
+(arXiv 2511.10560 §training, VGGT arXiv 2503.11651):
+
+  - camera loss: L1 on the 9-dim absT_quaR_FoV encoding against the
+    scene-normalised ground truth, summed over the camera head's refinement
+    iterations with exponentially increasing weight (later iterates matter
+    more).
+  - dense losses (depth, world points): confidence-weighted L1,
+        conf * |pred - gt| - alpha * log(conf)
+    over valid pixels — the standard aleatoric-confidence objective the
+    predicted `expp1` confidences parameterise.
+
+All reductions are mask-aware and safe for empty masks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from omnivggt_tpu.utils import geometry as G
+
+
+def camera_loss(
+    pose_enc_list: jnp.ndarray,
+    gt_extrinsics: jnp.ndarray,
+    gt_intrinsics: jnp.ndarray,
+    image_size_hw,
+    gamma: float = 0.8,
+) -> jnp.ndarray:
+    """pose_enc_list: (T, B, S, 9) iterates; gt: (B,S,3,4)/(B,S,3,3)."""
+    gt_norm = G.normalize_extrinsics(gt_extrinsics)
+    gt_enc = G.extri_intri_to_pose_encoding(gt_norm, gt_intrinsics, image_size_hw)
+    T = pose_enc_list.shape[0]
+    weights = gamma ** jnp.arange(T - 1, -1, -1)  # last iterate weight 1
+    per_iter = jnp.mean(jnp.abs(pose_enc_list - gt_enc[None]), axis=(1, 2, 3))
+    return jnp.sum(weights * per_iter)
+
+
+def conf_weighted_l1(
+    pred: jnp.ndarray,
+    conf: jnp.ndarray,
+    gt: jnp.ndarray,
+    valid: jnp.ndarray,
+    alpha: float = 0.2,
+) -> jnp.ndarray:
+    """conf * |pred - gt| - alpha * log(conf) over valid pixels.
+
+    pred: (..., C); conf: (...); gt: (..., C); valid: (...)."""
+    err = jnp.sum(jnp.abs(pred - gt), axis=-1)
+    loss = conf * err - alpha * jnp.log(conf)
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(loss * valid) / denom
+
+
+def total_loss(
+    predictions,
+    batch,
+    image_size_hw,
+    *,
+    w_camera: float = 1.0,
+    w_depth: float = 1.0,
+    w_point: float = 1.0,
+):
+    """Combine camera/depth/point losses from a prediction dict and a batch
+    with keys: extrinsics (B,S,3,4), intrinsics (B,S,3,3),
+    depth (B,S,H,W,1), depth_valid (B,S,H,W), world_points (B,S,H,W,3)."""
+    losses = {}
+    losses["camera"] = camera_loss(
+        predictions["pose_enc_list"],
+        batch["extrinsics"],
+        batch["intrinsics"],
+        image_size_hw,
+    )
+    losses["depth"] = conf_weighted_l1(
+        predictions["depth"],
+        predictions["depth_conf"],
+        batch["depth"],
+        batch["depth_valid"],
+    )
+    losses["point"] = conf_weighted_l1(
+        predictions["world_points"],
+        predictions["world_points_conf"],
+        batch["world_points"],
+        batch["depth_valid"],
+    )
+    losses["total"] = (
+        w_camera * losses["camera"]
+        + w_depth * losses["depth"]
+        + w_point * losses["point"]
+    )
+    return losses

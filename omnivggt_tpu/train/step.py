@@ -1,0 +1,101 @@
+"""Sharded training step (the subsystem the reference only has as dead DDP
+boilerplate, /root/reference/omnivggt/datasets/utils/misc.py:179-331).
+
+TPU-native: one jit-compiled step over a global (data, seq) Mesh —
+data-parallel over scenes, sequence-parallel over frames/tokens — with XLA
+inserting the gradient reductions; optax for the optimiser; mixed precision
+(bf16 trunk, fp32 heads/optimiser state) via the model's compute_dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from omnivggt_tpu.config import OmniVGGTConfig
+from omnivggt_tpu.models import omnivggt as M
+from omnivggt_tpu.models.aggregator import AuxInputs
+from omnivggt_tpu.train import losses as LS
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.05,
+    warmup_steps: int = 1000,
+    total_steps: int = 100_000,
+    grad_clip: float = 1.0,
+):
+    """AdamW + half-cosine schedule with linear warmup + global-norm clipping
+    (the standard recipe; the reference's dead trainer used the same shape,
+    datasets/utils/misc.py:451-466)."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=learning_rate,
+        warmup_steps=warmup_steps,
+        decay_steps=total_steps,
+        end_value=learning_rate * 0.05,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def init_state(params, optimizer) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+
+def make_train_step(
+    cfg: OmniVGGTConfig,
+    optimizer,
+    sharding=None,
+    *,
+    use_aux_inputs: bool = False,
+):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch keys: images (B,S,H,W,3), extrinsics, intrinsics, depth,
+    depth_valid, world_points; optionally camera_mask/depth_mask (S,) when
+    use_aux_inputs (modality-injection training).
+    """
+
+    def loss_fn(params, batch):
+        H, W = batch["images"].shape[2:4]
+        aux = None
+        if use_aux_inputs:
+            aux = AuxInputs(
+                extrinsics=batch["extrinsics"],
+                intrinsics=batch["intrinsics"],
+                depth=batch["depth"],
+                depth_valid=batch["depth_valid"],
+                camera_mask=batch["camera_mask"],
+                depth_mask=batch["depth_mask"],
+            )
+        preds = M.apply(params, batch["images"], cfg, aux, sharding=sharding)
+        losses = LS.total_loss(preds, batch, (H, W))
+        return losses["total"], losses
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch):
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step

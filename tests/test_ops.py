@@ -1,0 +1,213 @@
+"""Op-level parity: RoPE, attention, resize, activations, layers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omnivggt_tpu.ops import rope as R
+from omnivggt_tpu.ops import layers as L
+from omnivggt_tpu.ops.activations import activate_head, activate_pose, inverse_log_transform
+from omnivggt_tpu.ops.attention import _attention_blockwise, _attention_xla
+from omnivggt_tpu.ops.resize import interpolate
+from tests.reference_util import install_reference, reference_available
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+
+@needs_ref
+def test_rope_parity():
+    install_reference()
+    import torch
+    from omnivggt.layers.rope import RotaryPositionEmbedding2D, PositionGetter
+
+    rng = np.random.default_rng(0)
+    B, H, D, gh, gw, psi = 2, 4, 64, 3, 5, 5
+    N = psi + gh * gw
+    pos_t = PositionGetter()(B, gh, gw, torch.device("cpu")) + 1
+    pos_t = torch.cat([torch.zeros(B, psi, 2, dtype=pos_t.dtype), pos_t], dim=1)
+    x = rng.normal(size=(B, H, N, D)).astype(np.float32)
+    out_t = RotaryPositionEmbedding2D(frequency=100.0)(torch.from_numpy(x), pos_t).numpy()
+
+    cos, sin = R.rope_tables(gh, gw, psi, D, 100.0)
+    out_j = np.asarray(
+        R.apply_rope(jnp.asarray(x.transpose(0, 2, 1, 3)), cos, sin)
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(out_t, out_j, atol=1e-5)
+
+
+def test_attention_impls_agree():
+    rng = np.random.default_rng(1)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(2, 300, 4, 64)).astype(np.float32)) for _ in range(3)
+    ]
+    a1 = np.asarray(_attention_xla(q, k, v))
+    a2 = np.asarray(_attention_blockwise(q, k, v, block_k=128))
+    np.testing.assert_allclose(a1, a2, atol=2e-5)
+
+
+@needs_ref
+def test_attention_parity_vs_torch_sdpa():
+    install_reference()
+    import torch
+
+    rng = np.random.default_rng(2)
+    q, k, v = [rng.normal(size=(2, 100, 4, 32)).astype(np.float32) for _ in range(3)]
+    ours = np.asarray(_attention_xla(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    ref = (
+        torch.nn.functional.scaled_dot_product_attention(
+            *[torch.from_numpy(x.transpose(0, 2, 1, 3).copy()) for x in (q, k, v)]
+        )
+        .numpy()
+        .transpose(0, 2, 1, 3)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_flash_attention_interpret_mode():
+    """Pallas kernel in interpreter mode vs the XLA implementation."""
+    from omnivggt_tpu.ops.pallas import flash_attention as FA
+    import functools
+    from unittest import mock
+
+    rng = np.random.default_rng(3)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 200, 2, 64)).astype(np.float32)) for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        out = np.asarray(FA._flash_forward(q, k, v, 64, 128))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "mode,align,antialias,in_hw,out_hw",
+    [
+        ("bilinear", True, False, (7, 9), (14, 18)),
+        ("bilinear", True, False, (14, 18), (37, 37)),
+        ("bilinear", False, False, (7, 9), (21, 27)),
+        ("bicubic", False, False, (37, 37), (28, 37)),
+        ("bicubic", False, True, (37, 37), (28, 30)),
+        ("bicubic", False, True, (37, 37), (40, 37)),
+        ("bilinear", True, False, (16, 16), (8, 8)),
+    ],
+)
+def test_interpolate_matches_torch(mode, align, antialias, in_hw, out_hw):
+    install_reference()
+    import torch
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 3, *in_hw)).astype(np.float32)
+    kwargs = dict(size=out_hw, mode=mode, antialias=antialias)
+    if not (antialias and not align):
+        kwargs["align_corners"] = align
+    else:
+        kwargs["align_corners"] = False
+    ref = torch.nn.functional.interpolate(torch.from_numpy(x), **kwargs).numpy()
+    ours = np.asarray(
+        interpolate(
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            out_hw,
+            mode=mode,
+            align_corners=align,
+            antialias=antialias,
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ref, ours, atol=5e-5)
+
+
+@needs_ref
+def test_activations_parity():
+    install_reference()
+    import torch
+    from omnivggt.heads import head_act as T
+
+    rng = np.random.default_rng(6)
+    y = rng.normal(size=(2, 5, 7)).astype(np.float32) * 3
+    np.testing.assert_allclose(
+        T.inverse_log_transform(torch.from_numpy(y)).numpy(),
+        np.asarray(inverse_log_transform(jnp.asarray(y))),
+        atol=1e-5,
+        rtol=5e-5,
+    )
+
+    pose = rng.normal(size=(2, 3, 9)).astype(np.float32)
+    ref = T.activate_pose(torch.from_numpy(pose), "linear", "linear", "relu").numpy()
+    ours = np.asarray(activate_pose(jnp.asarray(pose), "linear", "linear", "relu"))
+    np.testing.assert_allclose(ref, ours, atol=1e-6)
+
+    for act, dim in (("inv_log", 4), ("exp", 2)):
+        out = rng.normal(size=(3, dim, 8, 8)).astype(np.float32)
+        p_t, c_t = T.activate_head(torch.from_numpy(out), act, "expp1")
+        p_j, c_j = activate_head(
+            jnp.asarray(out.transpose(0, 2, 3, 1)), act, "expp1"
+        )
+        np.testing.assert_allclose(p_t.numpy(), np.asarray(p_j), atol=1e-5, rtol=5e-5)
+        np.testing.assert_allclose(c_t.numpy(), np.asarray(c_j), atol=1e-5, rtol=5e-5)
+
+
+@needs_ref
+def test_block_parity():
+    """Transformer Block (qk-norm + RoPE + LayerScale) vs the reference Block."""
+    install_reference()
+    import torch
+    from omnivggt.layers.block import Block
+    from omnivggt.layers.rope import RotaryPositionEmbedding2D, PositionGetter
+    from omnivggt_tpu.checkpoint import _Consumer, _block
+
+    dim, heads, gh, gw, psi = 64, 4, 3, 3, 2
+    N = psi + gh * gw
+    torch.manual_seed(0)
+    rope_t = RotaryPositionEmbedding2D(frequency=100.0)
+    blk = Block(dim=dim, num_heads=heads, qk_norm=True, init_values=0.01, rope=rope_t).eval()
+
+    pos = PositionGetter()(2, gh, gw, torch.device("cpu")) + 1
+    pos = torch.cat([torch.zeros(2, psi, 2, dtype=pos.dtype), pos], dim=1)
+    x = torch.randn(2, N, dim)
+    with torch.no_grad():
+        ref = blk(x, pos=pos).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in blk.state_dict().items()}
+    c = _Consumer({f"b.{k}": v for k, v in sd.items()})
+    params = _block(c, "b", qk_norm=True, has_ls=True)
+    assert not c.sd, c.sd
+
+    cos, sin = R.rope_tables(gh, gw, psi, dim // heads, 100.0)
+    ours = np.asarray(
+        L.block(params, jnp.asarray(x.numpy()), cos, sin, num_heads=heads)
+    )
+    np.testing.assert_allclose(ref, ours, atol=2e-5)
+
+
+@needs_ref
+def test_patch_embed_parity():
+    install_reference()
+    import torch
+    from omnivggt.layers import PatchEmbed
+
+    torch.manual_seed(1)
+    pe = PatchEmbed(img_size=28, patch_size=7, in_chans=3, embed_dim=32).eval()
+    x = torch.randn(2, 3, 28, 28)
+    with torch.no_grad():
+        ref = pe(x).numpy()
+
+    w = pe.proj.weight.detach().numpy().transpose(2, 3, 1, 0)
+    b = pe.proj.bias.detach().numpy()
+    ours = np.asarray(
+        L.patch_embed(
+            {"proj": {"w": jnp.asarray(w), "b": jnp.asarray(b)}},
+            jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+            7,
+        )
+    )
+    np.testing.assert_allclose(ref, ours, atol=1e-5)

@@ -1,0 +1,82 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8): sharded attention strategies and the
+sharded full-model forward must match single-device results exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omnivggt_tpu.ops.attention import _attention_xla
+from omnivggt_tpu.parallel import attention as pattn
+from omnivggt_tpu.parallel.mesh import make_mesh, shard_batch
+from omnivggt_tpu.parallel.sharding import ModelSharding
+
+needs_8dev = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_8dev
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+def test_sequence_sharded_attention_matches_full(strategy):
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(0)
+    B, N, H, D = 1, 8 * 37, 4, 32
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32)) for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    fn = pattn.allgather_attention if strategy == "allgather" else pattn.ring_attention
+    kwargs = {"impl": "xla"} if strategy == "allgather" else {}
+    out = np.asarray(fn(q, k, v, mesh, "seq", **kwargs))
+    np.testing.assert_allclose(ref, out, atol=2e-5)
+
+
+@needs_8dev
+def test_rows_sharded_attention_matches_full():
+    mesh = make_mesh(data=2, seq=4)
+    rng = np.random.default_rng(1)
+    R, N, H, D = 8, 21, 2, 16
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(R, N, H, D)).astype(np.float32)) for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    out = np.asarray(
+        pattn.rows_sharded_attention(q, k, v, mesh, ("data", "seq"), impl="xla")
+    )
+    np.testing.assert_allclose(ref, out, atol=2e-5)
+
+
+@needs_8dev
+@pytest.mark.parametrize("global_attn", ["allgather", "ring"])
+def test_sharded_model_forward_matches_single_device(global_attn):
+    """Full tiny-model forward on a (1, 8) mesh == single-device forward."""
+    from omnivggt_tpu.config import tiny_test_config
+    from omnivggt_tpu.models import omnivggt as M
+
+    cfg = tiny_test_config()
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.uniform(size=(1, 8, 28, 28, 3)).astype(np.float32))
+
+    ref = M.apply(params, images, cfg)
+
+    mesh = make_mesh(data=1, seq=8)
+    sharding = ModelSharding(mesh, global_attn=global_attn)
+    images_sharded = shard_batch(mesh, images)
+
+    fwd = jax.jit(lambda p, im: M.apply(p, im, cfg, sharding=sharding))
+    out = fwd(params, images_sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(ref["pose_enc"]), np.asarray(out["pose_enc"]), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["depth"]), np.asarray(out["depth"]), atol=5e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["world_points"]), np.asarray(out["world_points"]),
+        atol=5e-5, rtol=1e-5,
+    )
