@@ -18,6 +18,10 @@ import numpy as np
 
 
 def main():
+    from omnivggt_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+
     import jax
     import jax.numpy as jnp
 
@@ -34,20 +38,26 @@ def main():
     @jax.jit
     def fwd(params, images):
         preds = M.apply(params, images, cfg)
-        return preds["pose_enc"], preds["depth"], preds["world_points"]
+        # tiny checksum output: forces full execution, cheap to fetch
+        return (
+            preds["pose_enc"],
+            jnp.sum(preds["depth"]),
+            jnp.sum(preds["world_points"]),
+        )
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(size=(1, S, H, W, 3)).astype(np.float32))
 
-    # warmup / compile
-    jax.block_until_ready(fwd(params, images))
+    # warmup / compile; np.asarray forces a host transfer — on this backend
+    # block_until_ready alone does not wait for execution
+    np.asarray(fwd(params, images)[1])
 
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    np.asarray(out[1])  # device executes in order; fetching the last result
+    dt = time.perf_counter() - t0  # waits for the whole queue
     views_per_sec = S * iters / dt
 
     vs_baseline = None

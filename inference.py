@@ -1,0 +1,155 @@
+"""OmniVGGT-TPU inference CLI.
+
+Mirrors the reference entry point (/root/reference/inference.py:280-420):
+load a scene folder (images + optional per-frame camera .txt / depth .npy|.png),
+run one jit-compiled forward pass, decode camera poses, optionally export a GLB,
+and serve an interactive 3D viewer (a built-in WebGL page replaces viser).
+
+Examples:
+    python inference.py --image_folder example/office/images \
+        --camera_folder example/office/cameras --save_glb
+    python inference.py --image_folder scene/images --use_point_map --port 8080
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="OmniVGGT-TPU multi-view 3D reconstruction")
+    p.add_argument("--image_folder", type=str, required=True, help="folder of input images")
+    p.add_argument("--depth_folder", type=str, default=None, help="optional per-frame depth (.npy/.png)")
+    p.add_argument("--camera_folder", type=str, default=None, help="optional per-frame camera .txt files")
+    p.add_argument("--target_size", type=int, default=518, help="resize width in px")
+    p.add_argument("--use_point_map", action="store_true",
+                   help="visualize the point-map head output instead of depth unprojection")
+    p.add_argument("--mask_sky", action="store_true", help="mask sky in the GLB export")
+    p.add_argument("--mask_black_bg", action="store_true")
+    p.add_argument("--mask_white_bg", action="store_true")
+    p.add_argument("--conf_threshold", type=float, default=25.0,
+                   help="confidence percentile filter")
+    p.add_argument("--port", type=int, default=8080, help="viewer port")
+    p.add_argument("--background_mode", action="store_true",
+                   help="run the viewer in a daemon thread")
+    p.add_argument("--save_glb", action="store_true", help="export scene .glb")
+    p.add_argument("--glb_path", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="path to a converted reference safetensors checkpoint")
+    p.add_argument("--no_viewer", action="store_true", help="skip the interactive viewer")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-weight config (CPU smoke testing)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from omnivggt_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+
+    import jax
+    import jax.numpy as jnp
+
+    from omnivggt_tpu import OmniVGGT
+    from omnivggt_tpu.config import OmniVGGTConfig, tiny_test_config
+    from omnivggt_tpu.data.loader import load_images_and_cameras
+    from omnivggt_tpu.utils.geometry import (
+        pose_encoding_to_extri_intri,
+        unproject_depth_map_to_point_map,
+    )
+
+    print(f"devices: {jax.devices()}")
+
+    if args.tiny:
+        model = OmniVGGT(tiny_test_config())
+    elif args.checkpoint:
+        print(f"loading checkpoint {args.checkpoint} ...")
+        model = OmniVGGT.from_safetensors(args.checkpoint)
+    else:
+        print(
+            "WARNING: no --checkpoint given — running with random weights "
+            "(outputs are structurally valid but not meaningful)."
+        )
+        model = OmniVGGT(OmniVGGTConfig())
+
+    images, extrinsics, intrinsics, depths, masks, depth_idx, camera_idx = (
+        load_images_and_cameras(
+            args.image_folder,
+            camera_folder=args.camera_folder,
+            depth_folder=args.depth_folder,
+            target_size=args.target_size,
+        )
+    )
+    if args.tiny:
+        # tiny config wants tiny images: stride-subsample to its img_size
+        sz = model.config.img_size
+        step = max(images.shape[1] // sz, 1)
+        images = images[:, ::step, ::step][:, :sz, :sz]
+        depths = depths[:, :, ::step, ::step][:, :, :sz, :sz]
+        masks = masks[:, :, ::step, ::step][:, :, :sz, :sz]
+    S, H, W = images.shape[:3]
+    print(f"running inference on {S} frames at {H}x{W} ...")
+
+    predictions = model(
+        images,
+        extrinsics=extrinsics,
+        intrinsics=intrinsics,
+        depth=depths,
+        mask=masks,
+        depth_gt_index=depth_idx,
+        camera_gt_index=camera_idx,
+    )
+
+    extrinsic, intrinsic = pose_encoding_to_extri_intri(
+        predictions["pose_enc"], (H, W)
+    )
+
+    preds = {
+        k: np.asarray(v)[0]
+        for k, v in predictions.items()
+        if k != "pose_enc_list" and hasattr(v, "ndim")
+    }
+    preds["extrinsic"] = np.asarray(extrinsic)[0]
+    preds["intrinsic"] = np.asarray(intrinsic)[0]
+    preds["world_points_from_depth"] = unproject_depth_map_to_point_map(
+        preds["depth"], preds["extrinsic"], preds["intrinsic"]
+    )
+
+    if args.save_glb:
+        from omnivggt_tpu.viz.glb import predictions_to_glb
+
+        glb_path = args.glb_path or os.path.join(
+            os.path.dirname(args.image_folder.rstrip("/")) or ".", "scene.glb"
+        )
+        predictions_to_glb(
+            preds,
+            glb_path,
+            conf_thres=args.conf_threshold,
+            mask_black_bg=args.mask_black_bg,
+            mask_white_bg=args.mask_white_bg,
+            mask_sky=args.mask_sky,
+            image_folder=args.image_folder,
+            target_dir=os.path.dirname(glb_path) or ".",
+            prediction_mode="Predicted Pointmap" if args.use_point_map else "Depth",
+        )
+        print(f"saved {glb_path}")
+
+    if not args.no_viewer:
+        from omnivggt_tpu.viz.server import serve_scene
+
+        serve_scene(
+            preds,
+            port=args.port,
+            init_conf_threshold=args.conf_threshold,
+            background_mode=args.background_mode,
+            use_point_map=args.use_point_map,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,261 @@
+"""Self-contained interactive 3D point-cloud viewer (viser replacement).
+
+The reference serves an interactive viser app (/root/reference/inference.py:36-277)
+with confidence-percentile and per-frame filtering plus camera frusta. viser is
+unavailable here, so this module serves a single-page raw-WebGL viewer from the
+Python stdlib http.server — zero external dependencies, works offline. Controls:
+orbit (drag), zoom (wheel), pan (right-drag/shift-drag), a confidence-percentile
+slider, a frame filter dropdown, point-size slider, and camera-frusta toggle —
+the same interactions the reference exposes (inference.py:119-258).
+
+Data is shipped to the page as binary (positions f32, colors u8, per-point conf
+f32, per-point frame id u16, camera matrices f32) via a single /data endpoint.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import socketserver
+import struct
+import threading
+from typing import Optional
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>omnivggt-tpu viewer</title>
+<style>
+ body{margin:0;overflow:hidden;background:#111;font-family:sans-serif}
+ #hud{position:absolute;top:10px;left:10px;color:#eee;background:#0008;
+      padding:10px;border-radius:8px;font-size:13px}
+ #hud label{display:block;margin:4px 0}
+ canvas{display:block}
+</style></head><body>
+<div id="hud">
+ <b>omnivggt-tpu</b>
+ <label>conf percentile <input id="conf" type="range" min="0" max="100" value="CONF0"> <span id="confv">CONF0</span></label>
+ <label>point size <input id="psize" type="range" min="1" max="8" value="2"></label>
+ <label>frame <select id="frame"><option value="-1">all</option></select></label>
+ <label><input id="cams" type="checkbox" checked> show cameras</label>
+ <span id="stats"></span>
+</div>
+<canvas id="c"></canvas>
+<script>
+const canvas=document.getElementById('c');
+const gl=canvas.getContext('webgl');
+let N=0,S=0,pos,col,conf,fid,camsegs=null,confSorted;
+const st={rx:-0.5,ry:0.5,dist:3,cx:0,cy:0,cz:0,px:0,py:0};
+function resize(){canvas.width=innerWidth;canvas.height=innerHeight;gl.viewport(0,0,canvas.width,canvas.height);}
+addEventListener('resize',resize);resize();
+const vs=`attribute vec3 p;attribute vec3 c;attribute float cf;attribute float fi;
+uniform mat4 mvp;uniform float thr;uniform float psz;uniform float frame;
+varying vec3 vc;varying float vis;
+void main(){gl_Position=mvp*vec4(p,1.0);gl_PointSize=psz;vc=c;
+ vis=(cf>=thr&&(frame<0.0||abs(fi-frame)<0.5))?1.0:0.0;
+ if(vis<0.5)gl_Position=vec4(2e9,2e9,2e9,1.0);}`;
+const fs=`precision mediump float;varying vec3 vc;void main(){gl_FragColor=vec4(vc,1.0);}`;
+const lvs=`attribute vec3 p;attribute vec3 c;uniform mat4 mvp;varying vec3 vc;
+void main(){gl_Position=mvp*vec4(p,1.0);vc=c;}`;
+function sh(t,s){const h=gl.createShader(t);gl.shaderSource(h,s);gl.compileShader(h);
+ if(!gl.getShaderParameter(h,gl.COMPILE_STATUS))console.error(gl.getShaderInfoLog(h));return h;}
+function prog(v,f){const p=gl.createProgram();gl.attachShader(p,sh(gl.VERTEX_SHADER,v));
+ gl.attachShader(p,sh(gl.FRAGMENT_SHADER,f));gl.linkProgram(p);return p;}
+const P=prog(vs,fs),LP=prog(lvs,fs);
+let bufs={},lineBufs=null,nLines=0;
+function mul(a,b){const o=new Array(16).fill(0);
+ for(let i=0;i<4;i++)for(let j=0;j<4;j++)for(let k=0;k<4;k++)o[j*4+i]+=a[k*4+i]*b[j*4+k];return o;}
+function mvp(){
+ const a=canvas.width/canvas.height,f=1.8,n=0.01,fa=1000;
+ const pm=[f/a,0,0,0, 0,f,0,0, 0,0,(fa+n)/(n-fa),-1, 0,0,2*fa*n/(n-fa),0];
+ const cx=Math.cos(st.rx),sx=Math.sin(st.rx),cy=Math.cos(st.ry),sy=Math.sin(st.ry);
+ const R1=[1,0,0,0, 0,cx,sx,0, 0,-sx,cx,0, 0,0,0,1];
+ const R2=[cy,0,-sy,0, 0,1,0,0, sy,0,cy,0, 0,0,0,1];
+ const T=[1,0,0,0, 0,1,0,0, 0,0,1,0, -st.cx+st.px,-st.cy+st.py,-st.cz,1];
+ const Z=[1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,-st.dist,1];
+ return mul(pm,mul(Z,mul(R1,mul(R2,T))));}
+canvas.addEventListener('mousedown',e=>{st.drag=e.button; st.lx=e.clientX;st.ly=e.clientY;e.preventDefault();});
+addEventListener('mouseup',()=>st.drag=undefined);
+canvas.addEventListener('contextmenu',e=>e.preventDefault());
+addEventListener('mousemove',e=>{if(st.drag===undefined)return;
+ const dx=e.clientX-st.lx,dy=e.clientY-st.ly;st.lx=e.clientX;st.ly=e.clientY;
+ if(st.drag===0&&!e.shiftKey){st.ry+=dx*0.005;st.rx+=dy*0.005;}
+ else{st.px+=dx*0.002*st.dist;st.py-=dy*0.002*st.dist;}});
+canvas.addEventListener('wheel',e=>{st.dist*=Math.exp(e.deltaY*0.001);e.preventDefault();});
+function draw(){
+ gl.clearColor(0.07,0.07,0.08,1);gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
+ gl.enable(gl.DEPTH_TEST);
+ if(N){
+  gl.useProgram(P);
+  const m=mvp();gl.uniformMatrix4fv(gl.getUniformLocation(P,'mvp'),false,new Float32Array(m));
+  const pct=+document.getElementById('conf').value;
+  document.getElementById('confv').textContent=pct;
+  const thr=pct<=0?-1e30:confSorted[Math.min(N-1,Math.floor(pct/100*(N-1)))];
+  gl.uniform1f(gl.getUniformLocation(P,'thr'),thr);
+  gl.uniform1f(gl.getUniformLocation(P,'psz'),+document.getElementById('psize').value);
+  gl.uniform1f(gl.getUniformLocation(P,'frame'),+document.getElementById('frame').value);
+  const bind=(name,buf,size,type,norm)=>{const l=gl.getAttribLocation(P,name);
+   gl.bindBuffer(gl.ARRAY_BUFFER,buf);gl.enableVertexAttribArray(l);
+   gl.vertexAttribPointer(l,size,type,norm,0,0);};
+  bind('p',bufs.p,3,gl.FLOAT,false);bind('c',bufs.c,3,gl.UNSIGNED_BYTE,true);
+  bind('cf',bufs.cf,1,gl.FLOAT,false);bind('fi',bufs.fi,1,gl.FLOAT,false);
+  gl.drawArrays(gl.POINTS,0,N);
+  if(lineBufs&&document.getElementById('cams').checked){
+   gl.useProgram(LP);
+   gl.uniformMatrix4fv(gl.getUniformLocation(LP,'mvp'),false,new Float32Array(m));
+   const l=gl.getAttribLocation(LP,'p');gl.bindBuffer(gl.ARRAY_BUFFER,lineBufs.p);
+   gl.enableVertexAttribArray(l);gl.vertexAttribPointer(l,3,gl.FLOAT,false,0,0);
+   const lc=gl.getAttribLocation(LP,'c');gl.bindBuffer(gl.ARRAY_BUFFER,lineBufs.c);
+   gl.enableVertexAttribArray(lc);gl.vertexAttribPointer(lc,3,gl.UNSIGNED_BYTE,true,0,0);
+   gl.drawArrays(gl.LINES,0,nLines);}
+ }
+ requestAnimationFrame(draw);}
+fetch('data').then(r=>r.arrayBuffer()).then(ab=>{
+ const dv=new DataView(ab);let o=0;
+ N=dv.getUint32(o,true);o+=4;S=dv.getUint32(o,true);o+=4;
+ const nl=dv.getUint32(o,true);o+=4;
+ pos=new Float32Array(ab,o,N*3);o+=N*12;
+ col=new Uint8Array(ab,o,N*3);o+=N*3;o+=(4-o%4)%4;
+ conf=new Float32Array(ab,o,N);o+=N*4;
+ fid=new Float32Array(ab,o,N);o+=N*4;
+ const lp=new Float32Array(ab,o,nl*6);o+=nl*24;
+ const lc=new Uint8Array(ab,o,nl*6);
+ confSorted=Float32Array.from(conf).sort();
+ // center/scale
+ let mx=0,my=0,mz=0;for(let i=0;i<N;i++){mx+=pos[3*i];my+=pos[3*i+1];mz+=pos[3*i+2];}
+ st.cx=mx/N;st.cy=my/N;st.cz=mz/N;
+ let r=0;for(let i=0;i<Math.min(N,10000);i++){const dx=pos[3*i]-st.cx,dy=pos[3*i+1]-st.cy,dz=pos[3*i+2]-st.cz;
+  r=Math.max(r,Math.sqrt(dx*dx+dy*dy+dz*dz));}
+ st.dist=r*1.5||3;
+ const sel=document.getElementById('frame');
+ for(let s=0;s<S;s++){const op=document.createElement('option');op.value=s;op.textContent='frame '+s;sel.appendChild(op);}
+ const mk=(d)=>{const b=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.bufferData(gl.ARRAY_BUFFER,d,gl.STATIC_DRAW);return b;};
+ bufs={p:mk(pos),c:mk(col),cf:mk(conf),fi:mk(fid)};
+ if(nl){lineBufs={p:mk(lp),c:mk(lc)};nLines=nl*2;}
+ document.getElementById('stats').textContent=N.toLocaleString()+' pts, '+S+' frames';
+ draw();});
+</script></body></html>"""
+
+
+def build_payload(points, colors, conf, frame_ids, n_frames, cam_segments, cam_colors):
+    """Binary payload matching the viewer's /data parser."""
+    n = len(points)
+    nl = len(cam_segments)
+    out = bytearray()
+    out += struct.pack("<III", n, n_frames, nl)
+    out += np.ascontiguousarray(points, np.float32).tobytes()
+    out += np.ascontiguousarray(colors, np.uint8).tobytes()
+    out += b"\x00" * ((4 - len(out) % 4) % 4)
+    out += np.ascontiguousarray(conf, np.float32).tobytes()
+    out += np.ascontiguousarray(frame_ids, np.float32).tobytes()
+    out += np.ascontiguousarray(cam_segments, np.float32).tobytes()  # (nl, 2, 3)
+    out += np.ascontiguousarray(cam_colors, np.uint8).tobytes()  # (nl, 2, 3)
+    return bytes(out)
+
+
+def camera_wire_segments(extrinsics_w2c: np.ndarray, scene_scale: float):
+    """Wireframe frusta line segments for the viewer, one color per camera."""
+    from omnivggt_tpu.viz.glb import _rainbow, get_opengl_conversion_matrix
+
+    segs, cols = [], []
+    n = len(extrinsics_w2c)
+    w = scene_scale * 0.03
+    h = scene_scale * 0.06
+    corners = np.array(
+        [[-w, -w, h], [w, -w, h], [w, w, h], [-w, w, h]], np.float32
+    )
+    for i in range(n):
+        E = np.eye(4)
+        E[:3, :4] = extrinsics_w2c[i]
+        c2w = np.linalg.inv(E)
+        R, t = c2w[:3, :3], c2w[:3, 3]
+        apex = t
+        pts = corners @ R.T + t
+        color = _rainbow(i / max(n, 1))
+        for j in range(4):
+            segs.append([apex, pts[j]])
+            segs.append([pts[j], pts[(j + 1) % 4]])
+            cols.extend([[color, color], [color, color]])
+    if not segs:
+        return np.zeros((0, 2, 3), np.float32), np.zeros((0, 2, 3), np.uint8)
+    return np.asarray(segs, np.float32), np.asarray(cols, np.uint8)
+
+
+def serve_scene(
+    predictions: dict,
+    port: int = 8080,
+    init_conf_threshold: float = 25.0,
+    background_mode: bool = False,
+    use_point_map: bool = False,
+) -> Optional[threading.Thread]:
+    """Serve the interactive viewer for a (batch-dim-removed, numpy) prediction
+    dict with keys world_points / world_points_conf / images / extrinsic (and
+    world_points_from_depth when use_point_map is False)."""
+    if use_point_map or "world_points_from_depth" not in predictions:
+        pts = predictions["world_points"]
+        conf = predictions["world_points_conf"]
+    else:
+        pts = predictions["world_points_from_depth"]
+        conf = predictions.get("depth_conf", np.ones(pts.shape[:-1]))
+
+    images = predictions["images"]
+    if images.ndim == 4 and images.shape[1] == 3:
+        images = np.transpose(images, (0, 2, 3, 1))
+    S, H, W = pts.shape[:3]
+    points = pts.reshape(-1, 3).astype(np.float32)
+    colors = (images.reshape(-1, 3) * 255).astype(np.uint8)
+    conf_flat = conf.reshape(-1).astype(np.float32)
+    frame_ids = np.repeat(np.arange(S, dtype=np.float32), H * W)
+
+    center = np.median(points, axis=0)
+    points = points - center
+    lo, hi = np.percentile(points, 5, axis=0), np.percentile(points, 95, axis=0)
+    scene_scale = float(np.linalg.norm(hi - lo))
+
+    ex = predictions["extrinsic"].copy()
+    # recenter cameras consistently with the points
+    E = np.tile(np.eye(4), (S, 1, 1))
+    E[:, :3, :4] = ex
+    c2w = np.linalg.inv(E)
+    c2w[:, :3, 3] -= center
+    ex_centered = np.linalg.inv(c2w)[:, :3, :4]
+    segs, seg_cols = camera_wire_segments(ex_centered, scene_scale)
+
+    payload = build_payload(
+        points, colors, conf_flat, frame_ids, S, segs, seg_cols
+    )
+    page = _PAGE.replace("CONF0", str(int(init_conf_threshold)))
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.rstrip("/") in ("", "/index.html"):
+                body = page.encode()
+                ctype = "text/html"
+            elif self.path.lstrip("/") == "data":
+                body = payload
+                ctype = "application/octet-stream"
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = socketserver.ThreadingTCPServer(("0.0.0.0", port), Handler)
+    httpd.daemon_threads = True
+    print(f"viewer running at http://localhost:{port}")
+    if background_mode:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+    return None
