@@ -13,6 +13,7 @@ Also includes the TUM trajectory I/O used by the reference
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -159,3 +160,170 @@ def load_trajectory_tum_format(path: str):
     poses[:, :3, :3] = R
     poses[:, :3, 3] = t
     return poses, ts
+
+
+# ---------------------------------------------------------------------------
+# Dataset trajectory loaders (vo_eval.py:22-148 surface): Sintel / Replica /
+# TUM / TartanAir -> camera-to-world (N, 4, 4) + timestamps
+# ---------------------------------------------------------------------------
+
+
+def load_replica_traj(gt_file: str):
+    """Replica traj.txt: one flattened 3x4 or 4x4 c2w matrix per line."""
+    raw = np.loadtxt(gt_file)
+    assert raw.shape[1] in (12, 16), f"unexpected row width {raw.shape[1]}"
+    poses = np.tile(np.eye(4), (len(raw), 1, 1))
+    poses[:, : raw.shape[1] // 4, :] = raw.reshape(len(raw), -1, 4)
+    ts = np.arange(len(raw), dtype=float)
+    return poses, ts
+
+
+def load_sintel_traj(gt_dir: str):
+    """Sintel camdata folder of .cam files (world-to-camera extrinsics);
+    inverted to camera-to-world and mean-centred like the reference
+    (vo_eval.py:74-99)."""
+    from omnivggt_tpu.data.image_io import cam_read
+
+    files = sorted(
+        os.path.join(gt_dir, f) for f in os.listdir(gt_dir) if f.endswith(".cam")
+    )
+    ts = np.array(
+        [float(os.path.basename(f)[:-4].split("_")[-1]) for f in files]
+    )
+    poses = []
+    for f in files:
+        _, N = cam_read(f)
+        w2c = np.eye(4)
+        w2c[:3, :4] = N
+        poses.append(np.linalg.inv(w2c))
+    poses = np.stack(poses)
+    poses[:, :3, 3] -= poses[:, :3, 3].mean(0, keepdims=True)
+    return poses, ts
+
+
+def load_traj(
+    gt_traj_file: str,
+    traj_format: str = "sintel",
+    skip: int = 0,
+    stride: int = 1,
+    num_frames=None,
+):
+    """Load a GT trajectory in any supported format as c2w (N,4,4) +
+    timestamps, with skip/stride/limit (vo_eval.py:102-127 surface)."""
+    if traj_format == "replica":
+        poses, ts = load_replica_traj(gt_traj_file)
+    elif traj_format == "sintel":
+        poses, ts = load_sintel_traj(gt_traj_file)
+    elif traj_format in ("tum", "tartanair"):
+        poses, ts = load_trajectory_tum_format(gt_traj_file)
+    else:
+        raise NotImplementedError(traj_format)
+    poses, ts = poses[skip::stride], ts[skip::stride]
+    if num_frames is not None:
+        poses, ts = poses[:num_frames], ts[:num_frames]
+    return poses, ts
+
+
+def load_timestamps(time_file: str, traj_format: str = "replica"):
+    if traj_format in ("tum", "tartanair"):
+        with open(time_file) as f:
+            return [float(x.split(" ")[0]) for x in f if not x.startswith("#")]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Plotting + result aggregation (vo_eval.py:249-339 surface)
+# ---------------------------------------------------------------------------
+
+
+def plot_trajectory(
+    pred_c2w: np.ndarray,
+    gt_c2w: Optional[np.ndarray] = None,
+    title: str = "",
+    filename: str = "traj.png",
+    align: bool = True,
+    correct_scale: bool = True,
+):
+    """2D plot in the best-variance plane, GT dashed gray, prediction blue."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    p = _positions_from_c2w(pred_c2w)
+    g = _positions_from_c2w(gt_c2w) if gt_c2w is not None else None
+    if g is not None and align:
+        s, R, t = umeyama_sim3(p, g, with_scale=correct_scale)
+        p = (s * (R @ p.T)).T + t
+
+    basis = g if g is not None else p
+    order = np.argsort(np.var(basis, axis=0))
+    i1, i2 = order[-1], order[-2]  # two highest-variance axes
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.set_title(title)
+    if g is not None:
+        ax.plot(g[:, i1], g[:, i2], "--", color="gray", label="Ground Truth")
+    ax.plot(p[:, i1], p[:, i2], "-", color="blue", label="Predicted")
+    ax.set_xlabel("xyz"[i1])
+    ax.set_ylabel("xyz"[i2])
+    ax.legend()
+    ax.set_aspect("equal", adjustable="datalim")
+    fig.savefig(filename, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return filename
+
+
+def write_metrics_file(metrics: dict, path: str, seq: str = ""):
+    """Write an eval-metric text file compatible with extract_metrics."""
+    with open(path, "w") as f:
+        f.write(f"seq: {seq}\n")
+        f.write("APE w.r.t. translation part (m)\n")
+        f.write(f"  rmse {metrics['ate_rmse']:.6f}\n")
+        f.write("RPE w.r.t. translation part (m)\n")
+        f.write(f"  rmse {metrics['rpe_trans_rmse']:.6f}\n")
+        f.write("RPE w.r.t. rotation angle in degrees (deg)\n")
+        f.write(f"  rmse {metrics['rpe_rot_rmse_deg']:.6f}\n")
+
+
+def extract_metrics(file_path: str):
+    """Parse (ate, rpe_trans, rpe_rot) rmse values out of an eval text file."""
+    import re
+
+    with open(file_path) as f:
+        content = f.read()
+    pats = [
+        r"APE w\.r\.t\. translation part \(m\).*?rmse\s+([0-9.]+)",
+        r"RPE w\.r\.t\. translation part \(m\).*?rmse\s+([0-9.]+)",
+        r"RPE w\.r\.t\. rotation angle in degrees \(deg\).*?rmse\s+([0-9.]+)",
+    ]
+    vals = []
+    for pat in pats:
+        m = re.search(pat, content, re.DOTALL)
+        vals.append(float(m.group(1)) if m else 0.0)
+    return tuple(vals)
+
+
+def process_directory(directory: str):
+    """Collect (seq, ate, rpe_trans, rpe_rot) from every *_metric.txt below
+    `directory`."""
+    results = []
+    for root, _, files in os.walk(directory):
+        for file in sorted(files):
+            if file.endswith("_metric.txt"):
+                seq = file.replace("_eval_metric.txt", "")
+                results.append(
+                    (seq, *extract_metrics(os.path.join(root, file)))
+                )
+    return results
+
+
+def calculate_averages(results):
+    if not results:
+        return 0.0, 0.0, 0.0
+    n = len(results)
+    return (
+        sum(r[1] for r in results) / n,
+        sum(r[2] for r in results) / n,
+        sum(r[3] for r in results) / n,
+    )

@@ -73,6 +73,7 @@ def install_reference():
     if not any(isinstance(f, _StubFinder) for f in sys.meta_path):
         sys.meta_path.insert(0, _StubFinder())
     _stub_module("huggingface_hub", PyTorchModelHubMixin=object)
+    _install_torchvision_stub()
 
     # block the torch.hub DINOv2 download at Aggregator construction
     import torch
@@ -86,6 +87,50 @@ def install_reference():
     import omnivggt
 
     return omnivggt
+
+
+def _install_torchvision_stub():
+    """torchvision is absent; the reference only needs ToTensor/Compose (live
+    path) plus class names for the training-era augmentation module."""
+    if "torchvision" in sys.modules:
+        return
+    import numpy as np
+    import torch
+
+    class ToTensor:
+        def __call__(self, img):
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            return torch.from_numpy(arr.copy())
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class _Noop:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.ToTensor = ToTensor
+    transforms.Compose = Compose
+    for name in ("RandomApply", "ColorJitter", "RandomGrayscale", "GaussianBlur"):
+        setattr(transforms, name, _Noop)
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
 
 
 def torch_state_dict_to_numpy(module) -> dict:

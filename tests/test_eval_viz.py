@@ -1,0 +1,211 @@
+"""Trajectory eval, GLB export, viewer payload, sky masking, io helpers."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from omnivggt_tpu.eval import trajectory as T
+from omnivggt_tpu.utils import geometry as G
+from omnivggt_tpu.utils import io as IO
+from omnivggt_tpu.utils.pytree import collate_with_cat, select_first_batch
+from omnivggt_tpu.utils.validation import ValidationError, validate_batch, guard_predictions
+
+
+def _random_c2w(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, :3, :3] = np.asarray(G.quat_to_mat(jnp.asarray(q)))
+    poses[:, :3, 3] = rng.normal(size=(n, 3)) * 2
+    return poses
+
+
+def test_ate_zero_for_identical():
+    c2w = _random_c2w()
+    m = T.eval_metrics(c2w, c2w)
+    assert m["ate_rmse"] < 1e-6
+    assert m["rpe_trans_rmse"] < 1e-6
+    assert m["rpe_rot_rmse_deg"] < 1e-3
+
+
+def test_ate_scale_invariance():
+    """Sim3 alignment: a scaled/rotated/translated copy has ~zero ATE."""
+    c2w = _random_c2w(seed=1)
+    transformed = c2w.copy()
+    transformed[:, :3, 3] = 2.5 * c2w[:, :3, 3] + np.array([1.0, -2.0, 3.0])
+    assert T.ate_rmse(transformed, c2w) < 1e-5
+
+
+def test_pose_auc_perfect():
+    c2w = _random_c2w(seed=2)
+    auc = T.pose_auc(c2w, c2w)
+    for v in auc.values():
+        assert v > 0.98
+
+
+def test_traj_loaders(tmp_path):
+    c2w = _random_c2w(5, seed=3)
+    # replica format: flattened rows
+    rep = tmp_path / "traj.txt"
+    np.savetxt(rep, c2w[:, :3].reshape(5, 12))
+    poses, ts = T.load_traj(str(rep), "replica", skip=1, stride=2)
+    np.testing.assert_allclose(poses[:, :3], c2w[1::2, :3], atol=1e-6)
+
+    # tum format roundtrip
+    tum = tmp_path / "traj.tum"
+    T.save_trajectory_tum_format(c2w, str(tum))
+    poses, ts = T.load_traj(str(tum), "tum")
+    np.testing.assert_allclose(poses, c2w, atol=2e-4)
+
+
+def test_plot_and_metrics_files(tmp_path):
+    c2w = _random_c2w(10, seed=4)
+    noisy = c2w.copy()
+    noisy[:, :3, 3] += 0.01
+    out = T.plot_trajectory(noisy, c2w, filename=str(tmp_path / "traj.png"))
+    assert os.path.getsize(out) > 1000
+
+    m = T.eval_metrics(noisy, c2w)
+    mfile = tmp_path / "seq1_eval_metric.txt"
+    T.write_metrics_file(m, str(mfile), seq="seq1")
+    ate, rt, rr = T.extract_metrics(str(mfile))
+    assert abs(ate - m["ate_rmse"]) < 1e-5
+    results = T.process_directory(str(tmp_path))
+    assert len(results) == 1 and results[0][0] == "seq1"
+    avgs = T.calculate_averages(results)
+    assert abs(avgs[0] - m["ate_rmse"]) < 1e-5
+
+
+def _fake_predictions(S=3, H=14, W=14, seed=5):
+    rng = np.random.default_rng(seed)
+    c2w = _random_c2w(S, seed=seed)
+    return {
+        "world_points": rng.normal(size=(S, H, W, 3)).astype(np.float32),
+        "world_points_conf": rng.uniform(1, 10, size=(S, H, W)).astype(np.float32),
+        "depth": rng.uniform(0.5, 5, size=(S, H, W, 1)).astype(np.float32),
+        "depth_conf": rng.uniform(1, 10, size=(S, H, W)).astype(np.float32),
+        "images": rng.uniform(size=(S, H, W, 3)).astype(np.float32),
+        "extrinsic": np.linalg.inv(c2w)[:, :3].astype(np.float32),
+        "intrinsic": np.tile(
+            np.array([[20.0, 0, 7], [0, 20, 7], [0, 0, 1]], np.float32), (S, 1, 1)
+        ),
+        "world_points_from_depth": rng.normal(size=(S, H, W, 3)).astype(np.float32),
+    }
+
+
+def _parse_glb(path):
+    with open(path, "rb") as f:
+        magic, ver, total = struct.unpack("<III", f.read(12))
+        assert magic == 0x46546C67 and ver == 2
+        jlen, jtype = struct.unpack("<II", f.read(8))
+        assert jtype == 0x4E4F534A
+        gltf = json.loads(f.read(jlen))
+        blen, btype = struct.unpack("<II", f.read(8))
+        assert btype == 0x004E4942
+        payload = f.read(blen)
+        assert len(payload) == blen == gltf["buffers"][0]["byteLength"]
+    return gltf
+
+
+def test_glb_export_modes(tmp_path):
+    from omnivggt_tpu.viz.glb import predictions_to_glb
+
+    preds = _fake_predictions()
+    p1 = predictions_to_glb(preds, str(tmp_path / "a.glb"), conf_thres=25.0)
+    g = _parse_glb(p1)
+    assert len(g["meshes"]) == 1 + 3  # points + 3 camera frusta
+    assert g["meshes"][0]["primitives"][0]["mode"] == 0
+
+    predictions_to_glb(
+        preds, str(tmp_path / "b.glb"), conf_thres=0.0,
+        prediction_mode="Depth", mask_black_bg=True, mask_white_bg=True,
+        filter_by_frames="1: frame", show_cam=False,
+    )
+    g2 = _parse_glb(str(tmp_path / "b.glb"))
+    assert len(g2["meshes"]) == 1
+
+
+def test_viewer_payload_roundtrip():
+    from omnivggt_tpu.viz.server import build_payload, camera_wire_segments
+
+    preds = _fake_predictions()
+    segs, cols = camera_wire_segments(preds["extrinsic"], 1.0)
+    pts = preds["world_points"].reshape(-1, 3)
+    n = len(pts)
+    payload = build_payload(
+        pts, np.zeros((n, 3), np.uint8), np.ones(n, np.float32),
+        np.zeros(n, np.float32), 3, segs, cols,
+    )
+    N, S, nl = struct.unpack("<III", payload[:12])
+    assert N == n and S == 3 and nl == len(segs)
+    off = 12
+    got = np.frombuffer(payload[off : off + n * 12], np.float32).reshape(n, 3)
+    np.testing.assert_array_equal(got, pts)
+
+
+def test_sky_heuristic():
+    from omnivggt_tpu.viz.sky import _hsv_sky_mask
+
+    img = np.zeros((40, 40, 3), np.uint8)
+    img[:20] = [135, 206, 250]  # light blue "sky"
+    img[20:] = [60, 40, 20]  # dark ground
+    mask = _hsv_sky_mask(img)
+    assert mask[5:15, 5:35].mean() < 100  # sky rows marked 0
+    assert mask[25:, :].mean() > 200  # ground rows kept 255
+
+
+def test_io_helpers(tmp_path):
+    rng = np.random.default_rng(6)
+    IO.save_focals(rng.uniform(100, 300, size=(4, 1)), str(tmp_path / "f.txt"))
+    assert np.loadtxt(tmp_path / "f.txt").shape == (4,)
+
+    K = rng.normal(size=(4, 3, 3))
+    IO.save_intrinsics(K, str(tmp_path / "K.txt"))
+    np.testing.assert_allclose(np.loadtxt(tmp_path / "K.txt").reshape(4, 3, 3), K, atol=1e-5)
+
+    conf = rng.uniform(size=(2, 8, 8)).astype(np.float32)
+    IO.save_conf_maps(conf, str(tmp_path))
+    np.testing.assert_array_equal(np.load(tmp_path / "conf_0.npy"), conf[0])
+
+    IO.save_depth_maps(rng.uniform(size=(2, 8, 8)).astype(np.float32), str(tmp_path))
+    assert (tmp_path / "_depth_maps.gif").exists()
+
+
+def test_pytree_helpers():
+    samples = [
+        {"a": np.ones((2, 3)), "b": [np.zeros(4)], "name": f"s{i}"} for i in range(3)
+    ]
+    batch = collate_with_cat(samples)
+    assert batch["a"].shape == (6, 3)
+    assert batch["name"] == ["s0", "s1", "s2"] or isinstance(batch["name"], list)
+
+    preds = {"pose_enc": np.ones((2, 3, 9)), "depth": np.ones((2, 3, 4, 4, 1)), "other": 5}
+    first = select_first_batch(preds)
+    assert first["pose_enc"].shape == (1, 3, 9)
+    assert first["other"] == 5
+
+
+def test_validation():
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(size=(1, 2, 28, 28, 3)).astype(np.float32)
+    validate_batch(imgs, patch_size=14)  # ok
+
+    with pytest.raises(ValidationError, match="multiples"):
+        validate_batch(rng.uniform(size=(1, 2, 30, 30, 3)).astype(np.float32))
+
+    bad = imgs.copy()
+    bad[0, 0, 0, 0, 0] = np.nan
+    with pytest.raises(ValidationError, match="NaN"):
+        validate_batch(bad)
+
+    with pytest.raises(ValidationError, match="out of range"):
+        validate_batch(imgs, camera_gt_index=[5])
+
+    probs = guard_predictions({"x": np.array([1.0, np.inf])})
+    assert probs and "Inf" in probs[0]
