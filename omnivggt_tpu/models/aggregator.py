@@ -313,11 +313,10 @@ def apply(
 
     out_buf = jnp.zeros((n_out, B, S, P, 2 * C), dtype)
 
-    def step(carry, xs):
-        tokens, out_buf = carry
-        lp, layer_idx = xs
+    if tuple(cfg.aa_order) not in (("frame", "global"), ("global", "frame")):
+        raise NotImplementedError(f"aa_order {cfg.aa_order}")
 
-        # frame attention over (B*S, P, C)
+    def frame_step(tokens, lp):
         x = tokens.reshape(B * S, P, C)
         if sharding is not None:
             x = sharding.constrain_rows(x)
@@ -331,11 +330,10 @@ def apply(
         pe_tok = pe_f32 @ lp["pose_emb"]["w"].astype(dtype) + lp["pose_emb"]["b"].astype(dtype)
         cam_full = pe_tok * cam_mask_f
         inj = cam_full @ lp["adapter"]["w"].astype(dtype) + lp["adapter"]["b"].astype(dtype)
-        x = x.at[:, :, 0, :].add(inj)
-        frame_inter = x
+        return x.at[:, :, 0, :].add(inj)
 
-        # global attention over (B, S*P, C)
-        g = x.reshape(B, S * P, C)
+    def global_step(tokens, lp):
+        g = tokens.reshape(B, S * P, C)
         if sharding is not None:
             g = sharding.constrain_tokens_global(g)
         g = L.block(
@@ -343,13 +341,30 @@ def apply(
             num_heads=cfg.num_heads, ln_eps=cfg.ln_eps, attn_impl=attn_impl,
             shard=global_shard,
         )
-        tokens = g.reshape(B, S, P, C)
+        return g.reshape(B, S, P, C)
+
+    frame_first = tuple(cfg.aa_order)[0] == "frame"
+
+    def step(carry, xs):
+        tokens, out_buf = carry
+        lp, layer_idx = xs
+
+        if frame_first:
+            frame_inter = frame_step(tokens, lp)
+            global_inter = global_step(frame_inter, lp)
+            tokens = global_inter
+        else:
+            global_inter = global_step(tokens, lp)
+            frame_inter = frame_step(global_inter, lp)
+            tokens = frame_inter
 
         # store this layer's (frame ‖ global) concat if a head consumes it
+        # (the reference concatenates in this fixed order for either aa_order,
+        # models/aggregator.py:272-275)
         slot = slot_arr[layer_idx]
         write = slot >= 0
         slot_c = jnp.maximum(slot, 0)
-        out = jnp.concatenate([frame_inter, tokens], axis=-1)
+        out = jnp.concatenate([frame_inter, global_inter], axis=-1)
         cur = jax.lax.dynamic_index_in_dim(out_buf, slot_c, 0, keepdims=False)
         new = jnp.where(write, out, cur)
         out_buf = jax.lax.dynamic_update_index_in_dim(out_buf, new, slot_c, 0)
