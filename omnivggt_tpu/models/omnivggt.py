@@ -176,6 +176,59 @@ class OmniVGGT:
         config = config or OmniVGGTConfig()
         return cls(config, load_safetensors_params(path, config))
 
+    def save_pretrained(self, directory: str) -> str:
+        """Native checkpoint: orbax params + config JSON (the counterpart of
+        the reference's HF-hub mixin, omnivggt.py:3,10)."""
+        import dataclasses
+        import json
+        import os
+
+        from omnivggt_tpu.checkpoint import save_orbax
+
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(self.config), f, indent=2)
+        save_orbax(os.path.join(os.path.abspath(directory), "params"), self.params)
+        return directory
+
+    @classmethod
+    def from_pretrained(cls, directory: str):
+        """Load a native checkpoint saved with save_pretrained."""
+        import json
+        import os
+
+        import jax as _jax
+
+        from omnivggt_tpu import config as C
+        from omnivggt_tpu.checkpoint import load_orbax
+
+        with open(os.path.join(directory, "config.json")) as f:
+            raw = json.load(f)
+
+        def tup(d, keys):
+            for k in keys:
+                if k in d and isinstance(d[k], list):
+                    d[k] = tuple(d[k])
+            return d
+
+        cfg = C.OmniVGGTConfig(
+            img_size=raw["img_size"],
+            patch_size=raw["patch_size"],
+            embed_dim=raw["embed_dim"],
+            aggregator=C.AggregatorConfig(**tup(raw["aggregator"], ["aa_order"])),
+            camera_head=C.CameraHeadConfig(**raw["camera_head"]),
+            depth_head=C.DPTHeadConfig(
+                **tup(raw["depth_head"], ["out_channels", "intermediate_layer_idx"])
+            ),
+            point_head=C.DPTHeadConfig(
+                **tup(raw["point_head"], ["out_channels", "intermediate_layer_idx"])
+            ),
+            compute_dtype=raw["compute_dtype"],
+        )
+        template = _jax.eval_shape(lambda: init(_jax.random.PRNGKey(0), cfg))
+        params = load_orbax(os.path.join(os.path.abspath(directory), "params"), template)
+        return cls(cfg, params)
+
     def __call__(
         self,
         images,

@@ -1,0 +1,93 @@
+"""Checkpoint subsystem: native save/load roundtrip, converter strictness."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from omnivggt_tpu.config import tiny_test_config
+from omnivggt_tpu.models.omnivggt import OmniVGGT
+from tests.reference_util import (
+    install_reference,
+    reference_available,
+    torch_state_dict_to_numpy,
+)
+
+
+def test_save_and_from_pretrained_roundtrip(tmp_path):
+    model = OmniVGGT(tiny_test_config(), seed=3)
+    model.save_pretrained(str(tmp_path / "ckpt"))
+    loaded = OmniVGGT.from_pretrained(str(tmp_path / "ckpt"))
+    assert loaded.config == model.config
+    for a, b in zip(jax.tree.leaves(model.params), jax.tree.leaves(loaded.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # loaded model actually runs
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(1, 2, 28, 28, 3)).astype(np.float32)
+    p1 = model(imgs)
+    p2 = loaded(imgs)
+    np.testing.assert_allclose(
+        np.asarray(p1["pose_enc"]), np.asarray(p2["pose_enc"]), atol=1e-6
+    )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree not mounted")
+def test_converter_strictness():
+    """Missing or extra tensors must fail loudly (the analogue of the
+    reference's strict=True load, inference.py:324)."""
+    install_reference()
+    import torch
+
+    from omnivggt_tpu.checkpoint import convert_state_dict
+    from tests.test_models import _tiny_cfg, _tiny_torch_omnivggt
+
+    torch.manual_seed(0)
+    model_t = _tiny_torch_omnivggt(torch)
+    sd = torch_state_dict_to_numpy(model_t)
+    cfg = _tiny_cfg()
+
+    convert_state_dict(dict(sd), cfg)  # baseline: converts cleanly
+
+    missing = dict(sd)
+    missing.pop("camera_head.embed_pose.weight")
+    with pytest.raises(KeyError, match="embed_pose"):
+        convert_state_dict(missing, cfg)
+
+    extra = dict(sd)
+    extra["rogue.tensor"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_state_dict(extra, cfg)
+
+
+def test_safetensors_roundtrip(tmp_path):
+    """A reference-layout safetensors file loads through the public
+    from_safetensors entry point."""
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    install_reference()
+    import torch
+    from safetensors.numpy import save_file
+
+    from tests.test_models import _tiny_cfg, _tiny_torch_omnivggt
+
+    torch.manual_seed(1)
+    model_t = _tiny_torch_omnivggt(torch)
+    sd = torch_state_dict_to_numpy(model_t)
+    path = str(tmp_path / "ref.safetensors")
+    save_file(sd, path)
+
+    model = OmniVGGT.from_safetensors(path, _tiny_cfg())
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(size=(2, 28, 28, 3)).astype(np.float32)
+    preds = model(imgs)
+    with torch.no_grad():
+        ref = model_t(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+            torch.zeros(1, 2, 3, 4), torch.zeros(1, 2, 3, 3),
+            torch.zeros(1, 2, 28, 28, 1), torch.zeros(1, 2, 28, 28),
+            depth_gt_index=[], camera_gt_index=[],
+        )
+    np.testing.assert_allclose(
+        ref["pose_enc"].numpy(), np.asarray(preds["pose_enc"]), atol=5e-4
+    )
