@@ -256,6 +256,67 @@ def _load_video_frames(path, size, square_ok, crop, fps, num_frames, start_idx, 
 
 
 # ---------------------------------------------------------------------------
+# CO3D-style depth IO + filtering (datasets/utils/misc.py:488-695 surface)
+# ---------------------------------------------------------------------------
+
+
+def load_16bit_png_depth(depth_png: str) -> np.ndarray:
+    """16-bit PNG whose bits are a packed float16 depth map -> (H, W) float32
+    (the CO3D convention)."""
+    with PIL.Image.open(depth_png) as depth_pil:
+        depth = (
+            np.frombuffer(np.array(depth_pil, dtype=np.uint16), dtype=np.float16)
+            .astype(np.float32)
+            .reshape((depth_pil.size[1], depth_pil.size[0]))
+        )
+    return depth
+
+
+def read_depth(path: str, scale_adjustment: float = 1.0) -> np.ndarray:
+    """Depth from .exr (first channel; >1e9 zeroed) or CO3D 16-bit .png, scaled
+    and sanitised (non-finite -> 0)."""
+    import cv2
+
+    if path.lower().endswith(".exr"):
+        d = cv2.imread(path, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
+        if d is None:
+            raise IOError(f"could not read {path}")
+        if d.ndim == 3:
+            d = d[..., 0]
+        d = d.astype(np.float32)
+        d[d > 1e9] = 0.0
+    elif path.lower().endswith(".png"):
+        d = load_16bit_png_depth(path)
+    else:
+        raise ValueError(f'unsupported depth file name "{path}"')
+    d = d * scale_adjustment
+    d[~np.isfinite(d)] = 0.0
+    return d
+
+
+def threshold_depth_map(
+    depth_map: Optional[np.ndarray],
+    max_percentile: float = 99,
+    min_percentile: float = 1,
+    max_depth: float = -1,
+) -> Optional[np.ndarray]:
+    """Zero out depth outliers: optional absolute clamp, then percentile-based
+    upper/lower cutoffs (nan-aware)."""
+    if depth_map is None:
+        return None
+    depth_map = np.array(depth_map, copy=True)
+    if max_depth > 0:
+        depth_map[depth_map > max_depth] = 0.0
+    hi = np.nanpercentile(depth_map, max_percentile) if max_percentile > 0 else None
+    lo = np.nanpercentile(depth_map, min_percentile) if min_percentile > 0 else None
+    if hi is not None and hi > 0:
+        depth_map[depth_map > hi] = 0.0
+    if lo is not None and lo > 0:
+        depth_map[depth_map < lo] = 0.0
+    return depth_map
+
+
+# ---------------------------------------------------------------------------
 # Mask post-processing
 # ---------------------------------------------------------------------------
 

@@ -198,6 +198,7 @@ def apply(
     dtype=jnp.float32,
     attn_impl: str = "auto",
     sharding=None,
+    remat: bool = False,
 ):
     """Run the aggregator.
 
@@ -370,6 +371,13 @@ def apply(
         out_buf = jax.lax.dynamic_update_index_in_dim(out_buf, new, slot_c, 0)
         return (tokens, out_buf), None
 
+    if remat:
+        # trade FLOPs for memory when training: recompute each layer pair in
+        # the backward pass instead of storing its activations (the reference
+        # uses torch checkpointing the same way, omnivggt_aggregator.py:292-298)
+        step = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.nothing_saveable
+        )
     (tokens, out_buf), _ = jax.lax.scan(
         step, (tokens.astype(dtype), out_buf), (layer_params, jnp.arange(cfg.depth))
     )

@@ -57,6 +57,7 @@ def apply(
     *,
     attn_impl: str = "auto",
     sharding=None,
+    remat: bool = False,
 ):
     """Full forward pass.
 
@@ -84,6 +85,7 @@ def apply(
         dtype=cfg.trunk_dtype,
         attn_impl=attn_impl,
         sharding=sharding,
+        remat=remat,
     )
     tokens_buf = tokens_buf.astype(jnp.float32)
     slot = {l: i for i, l in enumerate(out_layers)}

@@ -61,6 +61,7 @@ def make_train_step(
     sharding=None,
     *,
     use_aux_inputs: bool = False,
+    remat: bool = True,
 ):
     """Returns train_step(state, batch) -> (state, metrics).
 
@@ -81,7 +82,9 @@ def make_train_step(
                 camera_mask=batch["camera_mask"],
                 depth_mask=batch["depth_mask"],
             )
-        preds = M.apply(params, batch["images"], cfg, aux, sharding=sharding)
+        preds = M.apply(
+            params, batch["images"], cfg, aux, sharding=sharding, remat=remat
+        )
         losses = LS.total_loss(preds, batch, (H, W))
         return losses["total"], losses
 

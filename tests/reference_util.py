@@ -24,7 +24,9 @@ def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_PATH, "omnivggt"))
 
 
-_STUB_TOPS = ("evo", "trimesh", "onnxruntime", "viser")
+# absent deps + the reference's own broken imports (vggt/dust3r don't exist
+# in-repo, SURVEY.md §2.4)
+_STUB_TOPS = ("evo", "trimesh", "onnxruntime", "viser", "vggt", "dust3r")
 
 
 class _StubLoader:
