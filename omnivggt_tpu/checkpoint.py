@@ -58,7 +58,17 @@ class _Consumer:
         return jnp.asarray(self.take(name))
 
 
-def _block(c: _Consumer, prefix: str, qk_norm: bool, has_ls: bool):
+def _block(c: _Consumer, prefix: str, qk_norm: bool, has_ls: bool, swiglu: bool = False):
+    if swiglu:
+        ffn = {
+            "w12": c.linear(f"{prefix}.mlp.w12"),
+            "w3": c.linear(f"{prefix}.mlp.w3"),
+        }
+    else:
+        ffn = {
+            "fc1": c.linear(f"{prefix}.mlp.fc1"),
+            "fc2": c.linear(f"{prefix}.mlp.fc2"),
+        }
     p = {
         "norm1": c.norm(f"{prefix}.norm1"),
         "attn": {
@@ -66,10 +76,7 @@ def _block(c: _Consumer, prefix: str, qk_norm: bool, has_ls: bool):
             "proj": c.linear(f"{prefix}.attn.proj"),
         },
         "norm2": c.norm(f"{prefix}.norm2"),
-        "mlp": {
-            "fc1": c.linear(f"{prefix}.mlp.fc1"),
-            "fc2": c.linear(f"{prefix}.mlp.fc2"),
-        },
+        "mlp": ffn,
     }
     if qk_norm:
         p["attn"]["q_norm"] = c.norm(f"{prefix}.attn.q_norm")
@@ -86,14 +93,19 @@ def _stack_blocks(blocks):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
 
-def _dinov2(c: _Consumer, prefix: str, depth: int, num_register_tokens: int):
+def _dinov2(
+    c: _Consumer, prefix: str, depth: int, num_register_tokens: int, swiglu: bool = False
+):
     p = {
         "patch_embed": {"proj": c.conv(f"{prefix}.patch_embed.proj")},
         "cls_token": c.raw(f"{prefix}.cls_token"),
         "pos_embed": c.raw(f"{prefix}.pos_embed"),
         "norm": c.norm(f"{prefix}.norm"),
         "blocks": _stack_blocks(
-            [_block(c, f"{prefix}.blocks.{i}", qk_norm=False, has_ls=True) for i in range(depth)]
+            [
+                _block(c, f"{prefix}.blocks.{i}", qk_norm=False, has_ls=True, swiglu=swiglu)
+                for i in range(depth)
+            ]
         ),
     }
     if num_register_tokens:
@@ -154,7 +166,11 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: OmniVGGTConfig):
     else:
         bcfg = acfg.backbone
         patch_embed = _dinov2(
-            c, "aggregator.patch_embed", bcfg.depth, bcfg.num_register_tokens
+            c,
+            "aggregator.patch_embed",
+            bcfg.depth,
+            bcfg.num_register_tokens,
+            swiglu=bcfg.ffn_layer in ("swiglu", "swiglufused"),
         )
 
     import jax

@@ -36,6 +36,8 @@ class DinoV2Config:
     init_values: float = 1.0
     ln_eps: float = 1e-6
     qk_norm: bool = False
+    # "mlp" | "swiglu" | "swiglufused" (vision_transformer.py:121-126)
+    ffn_layer: str = "mlp"
     # bicubic pos-embed interpolation settings (aggregator.py:156-157)
     interpolate_antialias: bool = True
     interpolate_offset: float = 0.0

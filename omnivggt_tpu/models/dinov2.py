@@ -39,6 +39,7 @@ def init(key, cfg: DinoV2Config):
                 mlp_ratio=cfg.mlp_ratio,
                 init_values=cfg.init_values,
                 qk_norm=cfg.qk_norm,
+                ffn_layer=cfg.ffn_layer,
             )
         )(jnp.stack(ks[3 : 3 + cfg.depth])),
     }

@@ -77,10 +77,21 @@ def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def mlp(p, x: jnp.ndarray) -> jnp.ndarray:
-    """fc1 -> exact GELU -> fc2."""
+    """fc1 -> exact GELU -> fc2, or SwiGLU when the params carry w12/w3
+    (reference swiglu_ffn.py:14-34: silu(x1) * x2 through a fused w12)."""
+    if "w12" in p:
+        x12 = linear(p["w12"], x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return linear(p["w3"], jax.nn.silu(x1) * x2)
     h = linear(p["fc1"], x)
     h = jax.nn.gelu(h, approximate=False)
     return linear(p["fc2"], h)
+
+
+def swiglu_hidden_fused(hidden_features: int) -> int:
+    """SwiGLUFFNFused hidden rounding (swiglu_ffn.py:66): 2/3 of the GELU
+    hidden size rounded up to a multiple of 8."""
+    return (int(hidden_features * 2 / 3) + 7) // 8 * 8
 
 
 def conv2d(p, x: jnp.ndarray, stride=(1, 1), padding="SAME") -> jnp.ndarray:
@@ -167,19 +178,31 @@ def block_init(
     ffn_bias=True,
     init_values: Optional[float] = None,
     qk_norm=False,
+    ffn_layer: str = "mlp",
 ):
     ks = jax.random.split(key, 3)
     hidden = int(dim * mlp_ratio)
+    if ffn_layer in ("swiglu", "swiglufused"):
+        if ffn_layer == "swiglufused":
+            hidden = swiglu_hidden_fused(hidden)
+        ffn = {
+            "w12": linear_init(ks[1], dim, 2 * hidden, bias=ffn_bias),
+            "w3": linear_init(ks[2], hidden, dim, bias=ffn_bias),
+        }
+    elif ffn_layer == "mlp":
+        ffn = {
+            "fc1": linear_init(ks[1], dim, hidden, bias=ffn_bias),
+            "fc2": linear_init(ks[2], hidden, dim, bias=ffn_bias),
+        }
+    else:
+        raise NotImplementedError(ffn_layer)
     p = {
         "norm1": layer_norm_init(dim),
         "attn": attention_init(
             ks[0], dim, qkv_bias=qkv_bias, proj_bias=proj_bias, qk_norm=qk_norm, num_heads=num_heads
         ),
         "norm2": layer_norm_init(dim),
-        "mlp": {
-            "fc1": linear_init(ks[1], dim, hidden, bias=ffn_bias),
-            "fc2": linear_init(ks[2], hidden, dim, bias=ffn_bias),
-        },
+        "mlp": ffn,
     }
     if init_values:
         p["ls1"] = {"gamma": jnp.full((dim,), init_values, jnp.float32)}

@@ -14,6 +14,8 @@ noted, and safe under jit (no data-dependent control flow).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -278,6 +280,115 @@ def unproject_depth_map_to_point_map(
 # ---------------------------------------------------------------------------
 # Intrinsics conventions
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Point-cloud normalisation & matching (training-era surface,
+# /root/reference/omnivggt/utils/geometry.py:347-557)
+# ---------------------------------------------------------------------------
+
+
+def normalize_pointcloud(
+    pts: jnp.ndarray,
+    norm_mode: str = "avg_dis",
+    valid: Optional[jnp.ndarray] = None,
+    ret_factor: bool = False,
+):
+    """Renormalise (B, H, W, 3) point maps by a distance statistic:
+    avg_dis / avg_log1p / median_dis / sqrt_dis over valid points."""
+    assert pts.ndim >= 3 and pts.shape[-1] == 3
+    mode, dis_mode = norm_mode.split("_")
+    B = pts.shape[0]
+    flat = pts.reshape(B, -1, 3)
+    if valid is not None:
+        vmask = valid.reshape(B, -1)
+    else:
+        vmask = jnp.ones(flat.shape[:2], bool)
+
+    dis = jnp.linalg.norm(jnp.where(vmask[..., None], flat, 0.0), axis=-1)
+    if dis_mode == "log1p":
+        dis = jnp.log1p(dis)
+    elif dis_mode == "warp-log1p":
+        log_dis = jnp.log1p(dis)
+        warp = log_dis / jnp.clip(dis, min=1e-8)
+        pts = pts * warp.reshape(pts.shape[:-1])[..., None]
+        dis = log_dis
+    elif dis_mode != "dis":
+        raise ValueError(f"bad {dis_mode=}")
+
+    nnz = jnp.sum(vmask, axis=1)
+    if mode == "avg":
+        factor = jnp.sum(dis * vmask, axis=1) / (nnz + 1e-8)
+    elif mode == "median":
+        # torch nanmedian semantics: the LOWER of the two middle values
+        dn = jnp.where(vmask, dis, jnp.inf)
+        sorted_dis = jnp.sort(dn, axis=1)
+        idx = jnp.maximum((nnz - 1) // 2, 0)
+        factor = jnp.take_along_axis(sorted_dis, idx[:, None], axis=1)[:, 0]
+    elif mode == "sqrt":
+        factor = (jnp.sum(jnp.sqrt(dis) * vmask, axis=1) / (nnz + 1e-8)) ** 2
+    else:
+        raise ValueError(f"bad {mode=}")
+
+    factor = jnp.clip(factor, min=1e-8).reshape((B,) + (1,) * (pts.ndim - 1))
+    res = pts / factor
+    if ret_factor:
+        return res, factor
+    return res
+
+
+def find_reciprocal_matches(P1: np.ndarray, P2: np.ndarray):
+    """Mutual nearest-neighbour matching between two point sets via KD-trees.
+    Returns (reciprocal_in_P2 bool (N2,), nn2_in_P1 int (N2,), n_matches)."""
+    from scipy.spatial import KDTree
+
+    tree1 = KDTree(P1)
+    tree2 = KDTree(P2)
+    _, nn1_in_P2 = tree2.query(P1, workers=-1)
+    _, nn2_in_P1 = tree1.query(P2, workers=-1)
+    reciprocal_in_P2 = nn1_in_P2[nn2_in_P1] == np.arange(len(nn2_in_P1))
+    return reciprocal_in_P2, nn2_in_P1, int(reciprocal_in_P2.sum())
+
+
+def get_med_dist_between_poses(poses) -> float:
+    from scipy.spatial.distance import pdist
+
+    return float(np.median(pdist([np.asarray(p)[:3, 3] for p in poses])))
+
+
+def geotrf(Trf, pts, ncol: Optional[int] = None, norm: float = 0):
+    """Apply a (batched) homogeneous transformation to points of shape
+    (..., 2|3): rotation(+translation) if Trf is one column wider than the
+    points, plain linear map if square; optional projective normalisation onto
+    the z=norm plane."""
+    Trf = jnp.asarray(Trf)
+    pts = jnp.asarray(pts)
+    output_shape = pts.shape[:-1]
+    ncol = ncol or pts.shape[-1]
+
+    if Trf.ndim >= 3:
+        n = Trf.ndim - 2
+        assert Trf.shape[:n] == pts.shape[:n], "batch size does not match"
+        Trf = Trf.reshape(-1, Trf.shape[-2], Trf.shape[-1])
+        if pts.ndim > Trf.ndim:
+            pts = pts.reshape(Trf.shape[0], -1, pts.shape[-1])
+        elif pts.ndim == 2:
+            pts = pts[:, None, :]
+
+    if pts.shape[-1] + 1 == Trf.shape[-1]:
+        T = jnp.swapaxes(Trf, -1, -2)
+        pts = pts @ T[..., :-1, :] + T[..., -1:, :]
+    elif pts.shape[-1] == Trf.shape[-1]:
+        pts = pts @ jnp.swapaxes(Trf, -1, -2)
+    else:
+        pts = jnp.swapaxes(Trf @ pts.T, -1, -2)
+
+    if norm:
+        pts = pts / pts[..., -1:]
+        if norm != 1:
+            pts = pts * norm
+
+    return pts[..., :ncol].reshape(*output_shape, ncol)
 
 
 def colmap_to_opencv_intrinsics(K: np.ndarray) -> np.ndarray:

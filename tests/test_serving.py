@@ -1,0 +1,97 @@
+"""Batch inference serving: bucketing session + HTTP endpoint."""
+
+import io
+import json
+import socket
+import urllib.request
+
+import numpy as np
+import pytest
+
+from omnivggt_tpu.config import tiny_test_config
+from omnivggt_tpu.models.omnivggt import OmniVGGT
+from omnivggt_tpu.serving import InferenceSession, serve
+
+
+@pytest.fixture(scope="module")
+def session():
+    return InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2, 4)
+    )
+
+
+def test_session_bucketing(session):
+    rng = np.random.default_rng(0)
+    imgs3 = rng.uniform(size=(3, 28, 28, 3)).astype(np.float32)
+    out = session.infer(imgs3)
+    # padded to bucket 4 internally, stripped back to 3 frames
+    assert out["pose_enc"].shape == (3, 9)
+    assert out["depth"].shape == (3, 28, 28, 1)
+    assert list(session._jitted) == [(4, 28, 28, False, False)]
+
+    # a second 4-frame request reuses the compiled bucket
+    out4 = session.infer(rng.uniform(size=(4, 28, 28, 3)).astype(np.float32))
+    assert out4["pose_enc"].shape == (4, 9)
+    assert len(session._jitted) == 1
+
+    # padding frames don't change the result for the real frames at S==bucket
+    imgs4 = np.concatenate([imgs3, np.zeros((1, 28, 28, 3), np.float32)])
+    outp = session.infer(imgs4)
+    assert outp["pose_enc"].shape == (4, 9)
+
+
+def test_session_with_aux(session):
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(size=(2, 28, 28, 3)).astype(np.float32)
+    ex = np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1))
+    K = np.tile(np.diag([30.0, 30.0, 1.0]).astype(np.float32), (2, 1, 1))
+    K[:, 0, 2] = K[:, 1, 2] = 14
+    out = session.infer(
+        imgs, extrinsics=ex, intrinsics=K,
+        depth=np.ones((2, 28, 28, 1), np.float32),
+        mask=np.ones((2, 28, 28), np.float32),
+        camera_gt_index=[0], depth_gt_index=[0, 1],
+    )
+    assert np.isfinite(out["world_points"]).all()
+
+
+def test_session_rejects_bad_input(session):
+    with pytest.raises(Exception, match="multiples|images"):
+        session.infer(np.zeros((2, 30, 30, 3), np.float32))
+
+
+def test_http_endpoint(session):
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    httpd, thread = serve(session, port=port, background=True)
+    try:
+        health = json.loads(
+            urllib.request.urlopen(f"http://localhost:{port}/healthz", timeout=10).read()
+        )
+        assert health["status"] == "ok"
+
+        rng = np.random.default_rng(2)
+        buf = io.BytesIO()
+        np.savez(buf, images=rng.uniform(size=(2, 28, 28, 3)).astype(np.float32))
+        req = urllib.request.Request(
+            f"http://localhost:{port}/infer", data=buf.getvalue(), method="POST"
+        )
+        resp = urllib.request.urlopen(req, timeout=120)
+        assert resp.headers["X-Inference-Seconds"]
+        preds = np.load(io.BytesIO(resp.read()))
+        assert preds["pose_enc"].shape == (2, 9)
+        assert preds["depth_conf"].shape == (2, 28, 28)
+
+        # malformed request -> structured 400
+        bad = urllib.request.Request(
+            f"http://localhost:{port}/infer", data=b"not-an-npz", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        httpd.shutdown()
