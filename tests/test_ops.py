@@ -89,6 +89,33 @@ def test_flash_attention_interpret_mode():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_flash_attention_gradient():
+    """The custom VJP (blockwise recompute) matches the gradient of the plain
+    XLA attention."""
+    from omnivggt_tpu.ops.pallas.flash_attention import flash_attention
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(11)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 96, 2, 32)).astype(np.float32)) for _ in range(3)
+    ]
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attention_xla(q, k, v) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_flash):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+
+
 @needs_ref
 @pytest.mark.parametrize(
     "mode,align,antialias,in_hw,out_hw",

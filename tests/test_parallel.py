@@ -50,6 +50,46 @@ def test_rows_sharded_attention_matches_full():
 
 
 @needs_8dev
+def test_sharded_forward_with_modalities_matches_single_device():
+    """Sharded forward with GT camera + depth injection == single device."""
+    import jax.numpy as jnp_
+
+    from omnivggt_tpu.config import tiny_test_config
+    from omnivggt_tpu.models import omnivggt as M
+    from omnivggt_tpu.models.omnivggt import make_aux
+    from omnivggt_tpu.utils import geometry as G
+
+    cfg = tiny_test_config()
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    B, S, H, W = 1, 8, 28, 28
+    images = jnp_.asarray(rng.uniform(size=(B, S, H, W, 3)).astype(np.float32))
+    q = rng.normal(size=(B, S, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    ex = np.zeros((B, S, 3, 4), np.float32)
+    ex[..., :3] = np.asarray(G.quat_to_mat(jnp_.asarray(q)))
+    ex[..., 3] = rng.normal(size=(B, S, 3))
+    K = np.tile(np.diag([30.0, 30.0, 1.0]).astype(np.float32), (B, S, 1, 1))
+    K[..., 0, 2] = K[..., 1, 2] = 14
+    depth = rng.uniform(0.5, 5, size=(B, S, H, W, 1)).astype(np.float32)
+    mask = np.ones((B, S, H, W), np.float32)
+    aux = make_aux(S, ex, K, depth, mask, [0, 3], [0, 1, 5])
+
+    ref = M.apply(params, images, cfg, aux)
+
+    mesh = make_mesh(data=1, seq=8)
+    sharding = ModelSharding(mesh, global_attn="ring")
+    fwd = jax.jit(lambda p, im, a: M.apply(p, im, cfg, a, sharding=sharding))
+    out = fwd(params, shard_batch(mesh, images), aux)
+    np.testing.assert_allclose(
+        np.asarray(ref["pose_enc"]), np.asarray(out["pose_enc"]), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["depth"]), np.asarray(out["depth"]), atol=5e-5, rtol=1e-5
+    )
+
+
+@needs_8dev
 @pytest.mark.parametrize("global_attn", ["allgather", "ring"])
 def test_sharded_model_forward_matches_single_device(global_attn):
     """Full tiny-model forward on a (1, 8) mesh == single-device forward."""
