@@ -361,14 +361,17 @@ def apply(
 
         # store this layer's (frame ‖ global) concat if a head consumes it
         # (the reference concatenates in this fixed order for either aa_order,
-        # models/aggregator.py:272-275)
+        # models/aggregator.py:272-275); lax.cond skips the concat + 45MB-class
+        # buffer write entirely on the layers no head reads
         slot = slot_arr[layer_idx]
-        write = slot >= 0
-        slot_c = jnp.maximum(slot, 0)
-        out = jnp.concatenate([frame_inter, global_inter], axis=-1)
-        cur = jax.lax.dynamic_index_in_dim(out_buf, slot_c, 0, keepdims=False)
-        new = jnp.where(write, out, cur)
-        out_buf = jax.lax.dynamic_update_index_in_dim(out_buf, new, slot_c, 0)
+
+        def write_slot(buf):
+            out = jnp.concatenate([frame_inter, global_inter], axis=-1)
+            return jax.lax.dynamic_update_index_in_dim(
+                buf, out, jnp.maximum(slot, 0), 0
+            )
+
+        out_buf = jax.lax.cond(slot >= 0, write_slot, lambda buf: buf, out_buf)
         return (tokens, out_buf), None
 
     if remat:

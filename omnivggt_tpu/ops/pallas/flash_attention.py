@@ -44,14 +44,17 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (bq, D)
+    # fold the softmax scale into the (bq, D) q tile — a D-wide pass instead
+    # of a bk-wide pass over the score tile (VPU-bound kernel; every pass
+    # over (bq, bk) data costs ~2 ms across the grid)
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
     k = k_ref[0]  # (bk, D)
     s = jax.lax.dot_general(
-        q,
+        q.astype(k.dtype),
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (bq, bk)
+    )  # (bq, bk)
 
     # mask zero-padded keys — only the last block can contain padding, and
     # only when n_keys is not a multiple of block_k (static)
