@@ -1,0 +1,218 @@
+"""Fused ring flash attention: KV shards rotate between chips with Pallas
+inter-chip RDMA while each device accumulates streaming-softmax partials.
+
+This is the ICI-overlap kernel for the sequence-sharded global-attention stage
+(SURVEY.md §5/§7): compared to the shard_map + lax.ppermute ring
+(parallel/attention.py), the RDMA send is issued *inside* the kernel before the
+step's compute, so the transfer of the next KV shard rides ICI underneath the
+current block's MXU/VPU work instead of being scheduled by XLA between layers.
+
+Scope: the per-device KV shard must fit VMEM alongside the softmax state
+(N_local <= ~2048 at D=64). parallel/attention.ring_attention remains the
+general-size fallback. Validated in Pallas TPU interpret mode on the 8-device
+CPU mesh (tests/test_ring_kernel.py) — the same code path lowers to real RDMA
+on hardware.
+
+Layout per device: q, k, v (BH, N_local, D); grid over BH. Non-causal, so
+ring arrival order is irrelevant to the result.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+_NEG_INF = -1e30
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+MAX_LOCAL_SEQ = 2048  # VMEM-resident KV cap at D=64
+
+
+def _ring_kernel(
+    q_ref,  # (1, Nl, D) VMEM (current bh slice)
+    k_ref,  # (1, Nl, D) VMEM
+    v_ref,  # (1, Nl, D) VMEM
+    o_ref,  # (1, Nl, D) VMEM out
+    kv_buf,  # (2, 2, Nl, D) VMEM scratch: [slot][k|v]
+    m_scr,  # (Nl, 128) f32
+    l_scr,  # (Nl, 128) f32
+    acc_scr,  # (Nl, D) f32
+    send_sem,
+    recv_sem,
+    ready_sem,
+    *,
+    axis_name: str,
+    n_dev: int,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    handshake: bool,
+):
+    my = jax.lax.axis_index(axis_name)
+    right = jax.lax.rem(my + 1, n_dev)
+    left = jax.lax.rem(my + n_dev - 1, n_dev)
+
+    nl = q_ref.shape[1]
+    nq = nl // block_q
+    nk = nl // block_k
+
+    # local shard into ring slot 0
+    kv_buf[0, 0] = k_ref[0]
+    kv_buf[0, 1] = v_ref[0]
+    m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    for step in range(n_dev):
+        slot = step % 2
+        nslot = (step + 1) % 2
+        if step + 1 < n_dev:
+            # capacity handshake: ring skew is only bounded transitively (a
+            # device can run up to n_dev-1 steps ahead of its right
+            # neighbour), so with 2 buffer slots a sender must not overwrite
+            # the receiver's nslot until the receiver has finished with it.
+            # Signal our LEFT neighbour (who sends to us) that our nslot is
+            # consumable, then wait for the matching clearance from our RIGHT
+            # neighbour before sending. (Interpret mode lacks remote signals
+            # and executes deterministically — handshake=False there.)
+            if handshake:
+                pltpu.semaphore_signal(
+                    ready_sem, inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                pltpu.semaphore_wait(ready_sem, 1)
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=kv_buf.at[slot],
+                dst_ref=kv_buf.at[nslot],
+                send_sem=send_sem.at[slot],
+                recv_sem=recv_sem.at[nslot],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+
+        def q_tile_body(qi, _):
+            q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32) * scale
+            q = q.astype(k_ref.dtype)
+            m = m_scr[pl.ds(qi * block_q, block_q), :1]
+            l = l_scr[pl.ds(qi * block_q, block_q), :1]
+            acc = acc_scr[pl.ds(qi * block_q, block_q), :]
+
+            def k_tile_body(ki, carry):
+                m, l, acc = carry
+                k = kv_buf[slot, 0, pl.ds(ki * block_k, block_k), :]
+                v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_curr = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m, m_curr)
+                p = jnp.exp(s - m_new)
+                corr = jnp.exp(m - m_new)
+                l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+                acc_new = acc * corr + jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return m_new, l_new, acc_new
+
+            m, l, acc = jax.lax.fori_loop(0, nk, k_tile_body, (m, l, acc))
+            m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                m, (block_q, m_scr.shape[1])
+            )
+            l_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                l, (block_q, l_scr.shape[1])
+            )
+            acc_scr[pl.ds(qi * block_q, block_q), :] = acc
+            return ()
+
+        jax.lax.fori_loop(0, nq, q_tile_body, ())
+
+        if step + 1 < n_dev:
+            rdma.wait()  # send + recv complete before the slots swap roles
+
+    o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def ring_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+    handshake: bool = None,
+) -> jnp.ndarray:
+    """Exact sequence-sharded attention over (B, N, H, D) with N sharded on
+    `seq_axis`; per-device shard length must divide the blocks and fit VMEM
+    (<= MAX_LOCAL_SEQ)."""
+    B, N, H, D = q.shape
+    n_dev = mesh.shape[seq_axis]
+    nl = N // n_dev
+    if nl > MAX_LOCAL_SEQ:
+        raise ValueError(
+            f"per-device sequence {nl} exceeds the VMEM-resident cap "
+            f"{MAX_LOCAL_SEQ}; use parallel.attention.ring_attention instead"
+        )
+    block_q = min(block_q, nl)
+    block_k = min(block_k, nl)
+    if nl % block_q or nl % block_k:
+        raise ValueError(f"local length {nl} not divisible by blocks")
+    scale = D**-0.5
+    if handshake is None:
+        handshake = not interpret
+    spec = P(None, seq_axis, None, None)
+
+    def per_device(q, k, v):
+        # (B, nl, H, D) -> (B*H, nl, D)
+        def to_bhnd(x):
+            return x.transpose(0, 2, 1, 3).reshape(B * H, nl, D)
+
+        qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+        out = pl.pallas_call(
+            functools.partial(
+                _ring_kernel,
+                axis_name=seq_axis,
+                n_dev=n_dev,
+                scale=scale,
+                block_q=block_q,
+                block_k=block_k,
+                handshake=handshake,
+            ),
+            grid=(B * H,),
+            in_specs=[
+                pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
+                pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B * H, nl, D), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, nl, D), q.dtype),
+                pltpu.VMEM((nl, 128), jnp.float32),
+                pltpu.VMEM((nl, 128), jnp.float32),
+                pltpu.VMEM((nl, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.REGULAR,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=7,
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out.reshape(B, H, nl, D).transpose(0, 2, 1, 3)
+
+    return shard_map(
+        per_device, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
