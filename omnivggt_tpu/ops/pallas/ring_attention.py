@@ -7,11 +7,13 @@ This is the ICI-overlap kernel for the sequence-sharded global-attention stage
 step's compute, so the transfer of the next KV shard rides ICI underneath the
 current block's MXU/VPU work instead of being scheduled by XLA between layers.
 
-Scope: the per-device KV shard must fit VMEM alongside the softmax state
-(N_local <= ~2048 at D=64). parallel/attention.ring_attention remains the
-general-size fallback. Validated in Pallas TPU interpret mode on the 8-device
-CPU mesh (tests/test_ring_kernel.py) — the same code path lowers to real RDMA
-on hardware.
+Scope: the per-device KV shard must fit the VMEM double buffer
+(N_local <= 16384 at D=64 bf16). The softmax state is VMEM-resident for
+CHUNK_Q query rows at a time; longer shards run the ring once per q chunk
+(more ICI traffic, same exact result). parallel/attention.ring_attention
+remains the any-size fallback. Validated in Pallas TPU interpret mode on the
+8-device CPU mesh (tests/test_ring_kernel.py) — the same code path lowers to
+real RDMA on hardware.
 
 Layout per device: q, k, v (BH, N_local, D); grid over BH. Non-causal, so
 ring arrival order is irrelevant to the result.
@@ -31,7 +33,8 @@ from jax import shard_map
 _NEG_INF = -1e30
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
-MAX_LOCAL_SEQ = 2048  # VMEM-resident KV cap at D=64
+CHUNK_Q = 2048  # q rows whose softmax state is VMEM-resident per ring pass
+MAX_LOCAL_SEQ = 16384  # VMEM-resident KV double-buffer cap at D=64 bf16
 
 
 def _ring_kernel(
@@ -59,86 +62,97 @@ def _ring_kernel(
     left = jax.lax.rem(my + n_dev - 1, n_dev)
 
     nl = q_ref.shape[1]
-    nq = nl // block_q
+    chunk = m_scr.shape[0]  # q rows whose softmax state is VMEM-resident
+    n_chunks = nl // chunk
+    nq = chunk // block_q
     nk = nl // block_k
 
-    # local shard into ring slot 0
-    kv_buf[0, 0] = k_ref[0]
-    kv_buf[0, 1] = v_ref[0]
-    m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-    l_scr[:] = jnp.zeros_like(l_scr)
-    acc_scr[:] = jnp.zeros_like(acc_scr)
+    # The softmax state (m, l, acc) only fits VMEM for `chunk` query rows at a
+    # time, so the KV ring makes one full rotation per q chunk (the shard
+    # returns to a copy of its origin by reloading from k_ref/v_ref).
+    for ci in range(n_chunks):
+        q_base = ci * chunk
+        kv_buf[0, 0] = k_ref[0]
+        kv_buf[0, 1] = v_ref[0]
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    for step in range(n_dev):
-        slot = step % 2
-        nslot = (step + 1) % 2
-        if step + 1 < n_dev:
-            # capacity handshake: ring skew is only bounded transitively (a
-            # device can run up to n_dev-1 steps ahead of its right
-            # neighbour), so with 2 buffer slots a sender must not overwrite
-            # the receiver's nslot until the receiver has finished with it.
-            # Signal our LEFT neighbour (who sends to us) that our nslot is
-            # consumable, then wait for the matching clearance from our RIGHT
-            # neighbour before sending. (Interpret mode lacks remote signals
-            # and executes deterministically — handshake=False there.)
-            if handshake:
-                pltpu.semaphore_signal(
-                    ready_sem, inc=1, device_id=left,
+        for step in range(n_dev):
+            slot = step % 2
+            nslot = (step + 1) % 2
+            if step + 1 < n_dev:
+                # capacity handshake: ring skew is only bounded transitively
+                # (a device can run up to n_dev-1 steps ahead of its right
+                # neighbour), so with 2 buffer slots a sender must not
+                # overwrite the receiver's nslot until the receiver is done
+                # with it. Signal our LEFT neighbour (who sends to us) that
+                # our nslot is consumable, then wait for the matching
+                # clearance from our RIGHT neighbour before sending.
+                # (Interpret mode lacks remote signals and executes
+                # deterministically — handshake=False there.)
+                if handshake:
+                    pltpu.semaphore_signal(
+                        ready_sem, inc=1, device_id=left,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
+                    pltpu.semaphore_wait(ready_sem, 1)
+                rdma = pltpu.make_async_remote_copy(
+                    src_ref=kv_buf.at[slot],
+                    dst_ref=kv_buf.at[nslot],
+                    send_sem=send_sem.at[slot],
+                    recv_sem=recv_sem.at[nslot],
+                    device_id=right,
                     device_id_type=pltpu.DeviceIdType.LOGICAL,
                 )
-                pltpu.semaphore_wait(ready_sem, 1)
-            rdma = pltpu.make_async_remote_copy(
-                src_ref=kv_buf.at[slot],
-                dst_ref=kv_buf.at[nslot],
-                send_sem=send_sem.at[slot],
-                recv_sem=recv_sem.at[nslot],
-                device_id=right,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
-            )
-            rdma.start()
+                rdma.start()
 
-        def q_tile_body(qi, _):
-            q = q_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32) * scale
-            q = q.astype(k_ref.dtype)
-            m = m_scr[pl.ds(qi * block_q, block_q), :1]
-            l = l_scr[pl.ds(qi * block_q, block_q), :1]
-            acc = acc_scr[pl.ds(qi * block_q, block_q), :]
+            def q_tile_body(qi, _):
+                q = q_ref[
+                    0, pl.ds(q_base + qi * block_q, block_q), :
+                ].astype(jnp.float32) * scale
+                q = q.astype(k_ref.dtype)
+                m = m_scr[pl.ds(qi * block_q, block_q), :1]
+                l = l_scr[pl.ds(qi * block_q, block_q), :1]
+                acc = acc_scr[pl.ds(qi * block_q, block_q), :]
 
-            def k_tile_body(ki, carry):
-                m, l, acc = carry
-                k = kv_buf[slot, 0, pl.ds(ki * block_k, block_k), :]
-                v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
-                s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                def k_tile_body(ki, carry):
+                    m, l, acc = carry
+                    k = kv_buf[slot, 0, pl.ds(ki * block_k, block_k), :]
+                    v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
+                    s = jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    m_curr = jnp.max(s, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m, m_curr)
+                    p = jnp.exp(s - m_new)
+                    corr = jnp.exp(m - m_new)
+                    l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+                    acc_new = acc * corr + jax.lax.dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return m_new, l_new, acc_new
+
+                m, l, acc = jax.lax.fori_loop(0, nk, k_tile_body, (m, l, acc))
+                m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                    m, (block_q, m_scr.shape[1])
                 )
-                m_curr = jnp.max(s, axis=-1, keepdims=True)
-                m_new = jnp.maximum(m, m_curr)
-                p = jnp.exp(s - m_new)
-                corr = jnp.exp(m - m_new)
-                l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-                acc_new = acc * corr + jax.lax.dot_general(
-                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                l_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                    l, (block_q, l_scr.shape[1])
                 )
-                return m_new, l_new, acc_new
+                acc_scr[pl.ds(qi * block_q, block_q), :] = acc
+                return ()
 
-            m, l, acc = jax.lax.fori_loop(0, nk, k_tile_body, (m, l, acc))
-            m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
-                m, (block_q, m_scr.shape[1])
-            )
-            l_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
-                l, (block_q, l_scr.shape[1])
-            )
-            acc_scr[pl.ds(qi * block_q, block_q), :] = acc
-            return ()
+            jax.lax.fori_loop(0, nq, q_tile_body, ())
 
-        jax.lax.fori_loop(0, nq, q_tile_body, ())
+            if step + 1 < n_dev:
+                rdma.wait()  # send + recv complete before the slots swap roles
 
-        if step + 1 < n_dev:
-            rdma.wait()  # send + recv complete before the slots swap roles
-
-    o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        o_ref[0, pl.ds(q_base, chunk), :] = (
+            acc_scr[:] / l_scr[:, :1]
+        ).astype(o_ref.dtype)
 
 
 def ring_flash_attention(
@@ -149,6 +163,7 @@ def ring_flash_attention(
     seq_axis: str = "seq",
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    chunk_q: int = CHUNK_Q,
     interpret: bool = False,
     handshake: bool = None,
 ) -> jnp.ndarray:
@@ -163,10 +178,13 @@ def ring_flash_attention(
             f"per-device sequence {nl} exceeds the VMEM-resident cap "
             f"{MAX_LOCAL_SEQ}; use parallel.attention.ring_attention instead"
         )
-    block_q = min(block_q, nl)
+    chunk = min(chunk_q, nl)
+    block_q = min(block_q, chunk)
     block_k = min(block_k, nl)
-    if nl % block_q or nl % block_k:
-        raise ValueError(f"local length {nl} not divisible by blocks")
+    if nl % chunk or chunk % block_q or nl % block_k:
+        raise ValueError(
+            f"local length {nl} not divisible by chunk {chunk} / blocks"
+        )
     scale = D**-0.5
     if handshake is None:
         handshake = not interpret
@@ -198,9 +216,9 @@ def ring_flash_attention(
             out_shape=jax.ShapeDtypeStruct((B * H, nl, D), q.dtype),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, nl, D), q.dtype),
-                pltpu.VMEM((nl, 128), jnp.float32),
-                pltpu.VMEM((nl, 128), jnp.float32),
-                pltpu.VMEM((nl, D), jnp.float32),
+                pltpu.VMEM((chunk, 128), jnp.float32),
+                pltpu.VMEM((chunk, 128), jnp.float32),
+                pltpu.VMEM((chunk, D), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.REGULAR,

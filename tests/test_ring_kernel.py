@@ -42,8 +42,28 @@ def test_ring_flash_attention_matches_full(B, N, H, D):
 
 
 @needs_8dev
+def test_ring_flash_attention_multi_chunk():
+    """Shards longer than the state chunk run the ring once per q chunk."""
+    mesh = _seq_mesh()
+    rng = np.random.default_rng(1)
+    B, N, H, D = 1, 8 * 512, 1, 64
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    out = np.asarray(
+        ring_flash_attention(
+            q, k, v, mesh, "seq", block_q=128, block_k=256, chunk_q=256,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(ref, out, atol=2e-5)
+
+
+@needs_8dev
 def test_ring_flash_attention_rejects_oversize():
     mesh = _seq_mesh()
-    q = jnp.zeros((1, 8 * 4096, 2, 64), jnp.float32)
+    q = jnp.zeros((1, 8 * 20480, 2, 64), jnp.float32)
     with pytest.raises(ValueError, match="VMEM-resident cap"):
         ring_flash_attention(q, q, q, mesh, "seq", interpret=True)
