@@ -53,7 +53,6 @@ def main():
     ensure_platform()
 
     import jax
-    import jax.numpy as jnp
 
     from omnivggt_tpu import OmniVGGT
     from omnivggt_tpu.config import OmniVGGTConfig, tiny_test_config

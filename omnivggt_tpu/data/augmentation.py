@@ -9,7 +9,6 @@ stateful RNG transforms. Images are (..., H, W, 3) float in [0, 1].
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

@@ -15,7 +15,6 @@ materialised.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence
 
 import jax

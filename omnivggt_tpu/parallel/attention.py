@@ -23,7 +23,6 @@ in tests/test_parallel.py on the 8-device CPU mesh.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ frame independent); global attention all-gathers or ring-permutes KV across
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax

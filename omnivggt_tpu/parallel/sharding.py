@@ -13,7 +13,6 @@ activations so XLA partitions the pointwise work along the same axes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

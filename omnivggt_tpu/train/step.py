@@ -10,7 +10,7 @@ inserting the gradient reductions; optax for the optimiser; mixed precision
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ f32, per-point frame id u16, camera matrices f32) via a single /data endpoint.
 from __future__ import annotations
 
 import http.server
-import json
 import socketserver
 import struct
 import threading
@@ -155,7 +154,7 @@ def build_payload(points, colors, conf, frame_ids, n_frames, cam_segments, cam_c
 
 def camera_wire_segments(extrinsics_w2c: np.ndarray, scene_scale: float):
     """Wireframe frusta line segments for the viewer, one color per camera."""
-    from omnivggt_tpu.viz.glb import _rainbow, get_opengl_conversion_matrix
+    from omnivggt_tpu.viz.glb import _rainbow
 
     segs, cols = [], []
     n = len(extrinsics_w2c)

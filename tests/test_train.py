@@ -6,7 +6,6 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from omnivggt_tpu.config import tiny_test_config
 from omnivggt_tpu.models import omnivggt as M

@@ -23,7 +23,6 @@ from reference_util import install_reference  # noqa: E402
 
 install_reference()
 
-import numpy as np  # noqa: E402
 import torch  # noqa: E402
 
 
