@@ -31,10 +31,22 @@ def __getattr__(name):
         from omnivggt_tpu.models.omnivggt import OmniVGGT
 
         return OmniVGGT
+    if name == "AuxInputs":
+        from omnivggt_tpu.models.aggregator import AuxInputs
+
+        return AuxInputs
+    if name == "InferenceSession":
+        from omnivggt_tpu.serving import InferenceSession
+
+        return InferenceSession
     if name == "load_images_and_cameras":
         from omnivggt_tpu.data.loader import load_images_and_cameras
 
         return load_images_and_cameras
+    if name == "load_and_preprocess_images":
+        from omnivggt_tpu.data.loader import load_and_preprocess_images
+
+        return load_and_preprocess_images
     raise AttributeError(name)
 
 __version__ = "0.1.0"

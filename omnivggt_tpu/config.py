@@ -174,8 +174,9 @@ class OmniVGGTConfig:
     compute_dtype: str = "bfloat16"
 
     def __post_init__(self):
-        # propagate top-level sizes into the aggregator, mirroring the reference
-        # constructor plumbing (omnivggt.py:14).
+        # propagate top-level sizes into the aggregator AND the heads,
+        # mirroring the reference constructor plumbing (omnivggt.py:14-17:
+        # heads always take dim_in = 2 * embed_dim and the model patch size).
         agg = dataclasses.replace(
             self.aggregator,
             img_size=self.img_size,
@@ -183,6 +184,21 @@ class OmniVGGTConfig:
             embed_dim=self.embed_dim,
         )
         object.__setattr__(self, "aggregator", agg)
+        object.__setattr__(
+            self,
+            "camera_head",
+            dataclasses.replace(self.camera_head, dim_in=2 * self.embed_dim),
+        )
+        for name in ("depth_head", "point_head"):
+            object.__setattr__(
+                self,
+                name,
+                dataclasses.replace(
+                    getattr(self, name),
+                    dim_in=2 * self.embed_dim,
+                    patch_size=self.patch_size,
+                ),
+            )
 
     @property
     def trunk_dtype(self):

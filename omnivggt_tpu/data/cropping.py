@@ -130,14 +130,17 @@ def bbox_from_intrinsics_in_out(
 def resize_image_depth_and_intrinsic(
     image,
     depthmap: Optional[np.ndarray],
-    intrinsics: np.ndarray,
+    intrinsics: Optional[np.ndarray],
     target_size: int = 518,
     patch: int = 14,
 ):
     """Reference-loader-style resize: width -> target_size, height rounded to a
     multiple of `patch` and centre-cropped to <= target_size; intrinsics
-    rescaled and the principal point shifted by the crop
-    (cropping.py:187-284 / visual_util.py:731-817 combined semantics)."""
+    (when given) rescaled and the principal point shifted by the crop
+    (cropping.py:187-284 / visual_util.py:731-817 combined semantics).
+
+    This is THE canonical implementation of the model's input geometry — the
+    folder loader delegates here."""
     import cv2
 
     if not isinstance(image, PIL.Image.Image):
@@ -150,18 +153,21 @@ def resize_image_depth_and_intrinsic(
     if depthmap is not None:
         depthmap = cv2.resize(depthmap, (new_w, new_h), interpolation=cv2.INTER_NEAREST)
 
-    K = np.asarray(intrinsics).copy()
-    K[0, 0] *= sx
-    K[1, 1] *= sy
-    K[0, 2] *= sx
-    K[1, 2] *= sy
+    K = None
+    if intrinsics is not None:
+        K = np.asarray(intrinsics).copy()
+        K[0, 0] *= sx
+        K[1, 1] *= sy
+        K[0, 2] *= sx
+        K[1, 2] *= sy
 
     if new_h > target_size:
         crop_y = (new_h - target_size) // 2
         image = image.crop((0, crop_y, new_w, crop_y + target_size))
         if depthmap is not None:
             depthmap = depthmap[crop_y : crop_y + target_size]
-        K[1, 2] -= crop_y
+        if K is not None:
+            K[1, 2] -= crop_y
     return image, depthmap, K
 
 

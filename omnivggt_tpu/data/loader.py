@@ -43,12 +43,6 @@ def _load_rgb(path: str) -> Image.Image:
     return img.convert("RGB")
 
 
-def _resize_params(width: int, height: int, target_size: int):
-    new_width = target_size
-    new_height = round(height * (new_width / width) / PATCH) * PATCH
-    return new_width, new_height
-
-
 def load_camera_from_txt(camera_path: str):
     """3x4 camera-to-world extrinsic + 3x3 intrinsic from a text file
     (visual_util.py:843-891). Returns (None, None) on malformed files."""
@@ -112,7 +106,6 @@ def load_images_and_cameras(
     images (S, H, W, 3); extrinsics (1, S, 3, 4) w2c; intrinsics (1, S, 3, 3);
     depthmaps (1, S, H, W, 1); masks (1, S, H, W); depth_indices; camera_indices.
     """
-    import cv2
 
     image_paths = sorted(glob.glob(os.path.join(image_folder, "*")))
     image_paths = [p for p in image_paths if p.lower().endswith((".png", ".jpg", ".jpeg"))]
@@ -121,58 +114,45 @@ def load_images_and_cameras(
     depth_indices: List[int] = []
     camera_indices: List[int] = []
 
+    from omnivggt_tpu.data.cropping import resize_image_depth_and_intrinsic
+
     for idx, img_path in enumerate(image_paths):
         basename = Path(img_path).stem
         img = _load_rgb(img_path)
-        width, height = img.size
-
-        new_width, new_height = _resize_params(width, height, target_size)
-        scale_x, scale_y = new_width / width, new_height / height
-        img = img.resize((new_width, new_height), Image.Resampling.BICUBIC)
-
-        crop_start_y = 0
-        final_height = new_height
-        if new_height > target_size:
-            crop_start_y = (new_height - target_size) // 2
-            final_height = target_size
-            img = img.crop((0, crop_start_y, new_width, crop_start_y + target_size))
-
-        imgs.append(np.asarray(img, np.float32) / 255.0)  # (H, W, 3)
 
         depthmap = (
             _load_depth(depth_folder, basename, max_depth)
             if depth_folder is not None
             else None
         )
-        if depthmap is not None:
-            depth_indices.append(idx)
-            depthmap = cv2.resize(
-                depthmap, (new_width, new_height), interpolation=cv2.INTER_NEAREST
-            )
-            if new_height > target_size:
-                depthmap = depthmap[crop_start_y : crop_start_y + target_size, :]
-            mask = depthmap > 1e-5
-        else:
-            depthmap = np.zeros((final_height, new_width), np.float32)
-            mask = np.zeros_like(depthmap, bool)
-        depths_l.append(depthmap)
-        masks_l.append(mask)
+        has_depth = depthmap is not None
 
         extrinsic = intrinsic = None
         if camera_folder is not None:
             cam_path = os.path.join(camera_folder, f"{basename}.txt")
             if os.path.exists(cam_path):
                 extrinsic, intrinsic = load_camera_from_txt(cam_path)
+        has_camera = extrinsic is not None and intrinsic is not None
 
-        if extrinsic is not None and intrinsic is not None:
+        # one canonical geometry op for image + depth + intrinsics
+        img, depthmap, intrinsic = resize_image_depth_and_intrinsic(
+            img, depthmap, intrinsic if has_camera else None,
+            target_size=target_size, patch=PATCH,
+        )
+        arr = np.asarray(img, np.float32) / 255.0  # (H, W, 3)
+        imgs.append(arr)
+
+        if has_depth:
+            depth_indices.append(idx)
+            mask = depthmap > 1e-5
+        else:
+            depthmap = np.zeros(arr.shape[:2], np.float32)
+            mask = np.zeros_like(depthmap, bool)
+        depths_l.append(depthmap)
+        masks_l.append(mask)
+
+        if has_camera:
             camera_indices.append(idx)
-            intrinsic = intrinsic.copy()
-            intrinsic[0, 0] *= scale_x
-            intrinsic[1, 1] *= scale_y
-            intrinsic[0, 2] *= scale_x
-            intrinsic[1, 2] *= scale_y
-            if new_height > target_size:
-                intrinsic[1, 2] -= crop_start_y
             extrinsic = _invert_c2w(extrinsic)
         else:
             extrinsic = np.zeros((3, 4), np.float32)

@@ -120,8 +120,9 @@ def pose_auc(
     out = {}
     for th in thresholds:
         # normalised area under the cumulative accuracy curve up to threshold
-        acc = np.array([np.mean(errs <= e) for e in np.linspace(0, th, 100)])
-        out[f"auc@{th}"] = float(np.trapezoid(acc, dx=1.0 / 100))
+        xs = np.linspace(0, th, 100)
+        acc = np.array([np.mean(errs <= e) for e in xs])
+        out[f"auc@{th}"] = float(np.trapezoid(acc, x=xs / th))
     return out
 
 

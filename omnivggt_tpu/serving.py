@@ -3,9 +3,12 @@
 A minimal production-style serving layer over the jit-compiled model:
 
   - `InferenceSession`: owns params + a cache of compiled forwards keyed on
-    (S, H, W, modality combo); pads the frame count up to the next bucket so a
-    handful of compilations serve arbitrary scene sizes (static shapes are a
-    TPU requirement, SURVEY.md §7).
+    (S, H, W, modality combo). By default every distinct frame count compiles
+    its own executable ("exact" mode — results are exact). Opt-in
+    pad_mode="bucket" pads the frame count up to the next bucket so a handful
+    of compilations serve arbitrary scene sizes; padding frames participate in
+    global attention, so bucketed results are approximations of the unpadded
+    forward (cheaper compiles, slightly different numbers).
   - `serve()`: a stdlib HTTP endpoint — POST /infer with an .npz body
     (images [+ extrinsics/intrinsics/depth/mask + camera_gt_index/
     depth_gt_index]) returns an .npz of predictions. GET /healthz for liveness.
@@ -34,18 +37,24 @@ class InferenceSession:
     """Thread-safe scene-inference session with frame-count bucketing."""
 
     def __init__(self, model=None, config=None, params=None,
-                 buckets: Sequence[int] = DEFAULT_BUCKETS, sharding=None):
+                 buckets: Sequence[int] = DEFAULT_BUCKETS, sharding=None,
+                 pad_mode: str = "exact"):
         from omnivggt_tpu.models.omnivggt import OmniVGGT
 
         if model is None:
             model = OmniVGGT(config) if params is None else OmniVGGT(config, params)
+        if pad_mode not in ("exact", "bucket"):
+            raise ValueError(f"pad_mode must be 'exact' or 'bucket', got {pad_mode}")
         self.model = model
         self.buckets = tuple(sorted(buckets))
         self.sharding = sharding
+        self.pad_mode = pad_mode
         self._lock = threading.Lock()
         self._jitted: Dict = {}
 
     def _bucket(self, S: int) -> int:
+        if self.pad_mode == "exact":
+            return S
         for b in self.buckets:
             if S <= b:
                 return b
@@ -71,17 +80,22 @@ class InferenceSession:
         from omnivggt_tpu.utils.validation import validate_batch
 
         images = np.asarray(images, np.float32)
-        if images.ndim == 4:
-            pass
-        else:
+        if images.ndim != 4:
             raise ValueError(f"images must be (S,H,W,3); got {images.shape}")
         S, H, W, _ = images.shape
+
+        def batched(x, shape):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            return x.reshape(shape)[None] if x.size == np.prod(shape) else x[None]
+
         validate_batch(
             images[None],
-            None if extrinsics is None else np.asarray(extrinsics)[None] if np.asarray(extrinsics).ndim == 3 else extrinsics,
-            None if intrinsics is None else np.asarray(intrinsics)[None] if np.asarray(intrinsics).ndim == 3 else intrinsics,
-            None,
-            None,
+            batched(extrinsics, (S, 3, 4)),
+            batched(intrinsics, (S, 3, 3)),
+            batched(depth, (S, H, W, 1)),
+            batched(mask, (S, H, W)),
             depth_gt_index,
             camera_gt_index,
             patch_size=self.model.config.patch_size,

@@ -45,7 +45,19 @@ class _LayerDecayState(NamedTuple):
 def scale_by_layer_decay(params_template, layer_decay: float = 0.9):
     """GradientTransformation multiplying updates by decay^(n_layers - layer)
     for stacked per-layer block params (leading dim = layer) and by
-    decay^n_layers for the patch-embed/backbone inputs below them."""
+    decay^n_layers for the patch-embed/backbone inputs below them.
+
+    Must be chained AFTER the inner optimizer (e.g. adamw): Adam's
+    m/sqrt(v) normalisation is invariant to a constant gradient scaling, so
+    pre-scaling gradients would be a no-op — the per-layer scale has to
+    multiply the final update."""
+
+    # deepest stacked block count in this model (for the below-the-blocks scale)
+    max_depth = 1
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params_template):
+        names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if any(k in names for k in _STACKED_BLOCK_KEYS):
+            max_depth = max(max_depth, leaf.shape[0])
 
     def scales_for(path, leaf):
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
@@ -55,7 +67,7 @@ def scale_by_layer_decay(params_template, layer_decay: float = 0.9):
                 s = layer_decay ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
                 return s.reshape((n,) + (1,) * (leaf.ndim - 1))
         if "patch_embed" in names:
-            return jnp.asarray(layer_decay**24, jnp.float32)
+            return jnp.asarray(layer_decay**max_depth, jnp.float32)
         return jnp.asarray(1.0, jnp.float32)
 
     scale_tree = jax.tree_util.tree_map_with_path(scales_for, params_template)
@@ -88,10 +100,11 @@ def make_finetune_optimizer(
     )
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        scale_by_layer_decay(params_template, layer_decay),
         optax.adamw(
             schedule,
             weight_decay=weight_decay,
             mask=weight_decay_mask(params_template),
         ),
+        # after adamw: Adam normalisation cancels any pre-scaling
+        scale_by_layer_decay(params_template, layer_decay),
     )

@@ -45,9 +45,13 @@ def make_optimizer(
         decay_steps=total_steps,
         end_value=learning_rate * 0.05,
     )
+    from omnivggt_tpu.train.optim import weight_decay_mask
+
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adamw(schedule, weight_decay=weight_decay),
+        # callable mask: evaluated on the param tree at init, so biases,
+        # norms, LayerScale gammas and learned tokens are not decayed
+        optax.adamw(schedule, weight_decay=weight_decay, mask=weight_decay_mask),
     )
 
 

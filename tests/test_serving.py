@@ -20,24 +20,36 @@ def session():
     )
 
 
-def test_session_bucketing(session):
+def test_session_exact_mode_matches_direct_forward(session):
+    """Default pad_mode='exact': serving results == a direct model call."""
+    rng = np.random.default_rng(0)
+    imgs3 = rng.uniform(size=(3, 28, 28, 3)).astype(np.float32)
+    out = session.infer(imgs3)
+    assert out["pose_enc"].shape == (3, 9)
+    assert out["depth"].shape == (3, 28, 28, 1)
+    assert (3, 28, 28, False, False) in session._jitted
+
+    direct = session.model(imgs3)
+    np.testing.assert_allclose(
+        out["pose_enc"], np.asarray(direct["pose_enc"])[0], atol=1e-6
+    )
+
+
+def test_session_bucketing():
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2, 4), pad_mode="bucket"
+    )
     rng = np.random.default_rng(0)
     imgs3 = rng.uniform(size=(3, 28, 28, 3)).astype(np.float32)
     out = session.infer(imgs3)
     # padded to bucket 4 internally, stripped back to 3 frames
     assert out["pose_enc"].shape == (3, 9)
-    assert out["depth"].shape == (3, 28, 28, 1)
     assert list(session._jitted) == [(4, 28, 28, False, False)]
 
     # a second 4-frame request reuses the compiled bucket
     out4 = session.infer(rng.uniform(size=(4, 28, 28, 3)).astype(np.float32))
     assert out4["pose_enc"].shape == (4, 9)
     assert len(session._jitted) == 1
-
-    # padding frames don't change the result for the real frames at S==bucket
-    imgs4 = np.concatenate([imgs3, np.zeros((1, 28, 28, 3), np.float32)])
-    outp = session.infer(imgs4)
-    assert outp["pose_enc"].shape == (4, 9)
 
 
 def test_session_with_aux(session):
