@@ -31,6 +31,26 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 
+def _normalizing_transform(exv_w2c: np.ndarray, valid: np.ndarray):
+    """The sample-frame normalisation (numpy twin of the aggregator's
+    masked_normalize_extrinsics): rebase the world to the first camera-valid
+    view and rescale by the mean relative translation of the other valid
+    views. Returns (T (4,4) world->view0, scale)."""
+    S = len(exv_w2c)
+    i0 = int(np.argmax(valid))
+    E = np.tile(np.eye(4, dtype=np.float64), (S, 1, 1))
+    E[:, :3] = exv_w2c
+    T = E[i0]
+    En = E @ np.linalg.inv(T)[None]
+    t = En[:, :3, 3]
+    excl = valid & (np.arange(S) != i0)
+    if excl.any():
+        scale = max(float(np.linalg.norm(t - t[i0], axis=-1)[excl].mean()), 1e-6)
+    else:
+        scale = 1.0
+    return T.astype(np.float32), scale
+
+
 class SceneDataset:
     def __init__(
         self,
@@ -81,9 +101,12 @@ class SceneDataset:
             )
             ranking = None
             if len(c_idx) == images.shape[0] and images.shape[0] > 1:
+                # rank on camera-to-world poses: the distance metric's
+                # translation term must compare camera CENTRES, and the w2c
+                # translation is -R*c, not the centre
                 E = np.tile(np.eye(4, dtype=np.float32), (images.shape[0], 1, 1))
                 E[:, :3] = ex[0]
-                ranking, _ = compute_ranking(E)
+                ranking, _ = compute_ranking(np.linalg.inv(E))
             self._cache[idx] = (images, ex, K, depths, masks, d_idx, c_idx, ranking)
         return self._cache[idx]
 
@@ -91,7 +114,14 @@ class SceneDataset:
         return len(self.scene_dirs)
 
     def sample(self, rng: Optional[np.random.Generator] = None) -> dict:
-        """One training sample: S views of one scene with GT + dropout masks."""
+        """One training sample: S views of one scene with GT + dropout masks.
+
+        Supervision targets are expressed in the sample's normalised frame
+        (rebased to the first camera-valid view, translations rescaled by the
+        mean camera distance — the same normalisation camera_loss and the
+        aggregator's injection apply), so world points / depths / cameras are
+        mutually consistent across scenes with arbitrary annotation origins.
+        """
         rng = rng or self._rng
         images, ex, K, depths, masks, d_idx, c_idx, ranking = self._scene(
             int(rng.integers(len(self.scene_dirs)))
@@ -109,29 +139,49 @@ class SceneDataset:
         else:
             views = rng.permutation(n)[:S]
 
+        have_cam = np.isin(views, c_idx)
+        cam_mask = have_cam & (rng.uniform(size=S) < self.camera_keep_prob)
+        # the reference requires GT on the first frame whenever any frame has
+        # it (README.md:176): put a camera-kept view first
+        if cam_mask.any() and not cam_mask[0]:
+            j = int(np.argmax(cam_mask))
+            views[[0, j]] = views[[j, 0]]
+            order = np.arange(S)
+            order[[0, j]] = order[[j, 0]]
+            have_cam, cam_mask = have_cam[order], cam_mask[order]
+        have_depth = np.isin(views, d_idx)
+        depth_mask = have_depth & (rng.uniform(size=S) < self.depth_keep_prob)
+
         from omnivggt_tpu.utils.geometry import unproject_depth_map_to_point_map
 
         imgs = images[views]  # (S, H, W, 3)
-        exv, Kv = ex[0][views], K[0][views]
-        depthv, maskv = depths[0][views], masks[0][views]
+        exv, Kv = ex[0][views].copy(), K[0][views].copy()
+        depthv, maskv = depths[0][views].copy(), masks[0][views].copy()
 
-        have_cam = np.isin(views, c_idx)
-        have_depth = np.isin(views, d_idx)
+        # depth supervision validity needs only depth GT; world points also
+        # need the camera that unprojects them
+        depth_valid = (maskv * (depthv[..., 0] > 1e-5) * have_depth[:, None, None]).astype(np.float32)
         world_points = np.zeros(imgs.shape[:3] + (3,), np.float32)
-        valid = np.zeros(imgs.shape[:3], np.float32)
+        point_valid = np.zeros(imgs.shape[:3], np.float32)
         usable = have_cam & have_depth
         if usable.any():
-            wp = unproject_depth_map_to_point_map(
+            world_points[usable] = unproject_depth_map_to_point_map(
                 depthv[usable], exv[usable], Kv[usable]
             )
-            world_points[usable] = wp
-            valid[usable] = maskv[usable] * (depthv[usable, ..., 0] > 1e-5)
+            point_valid[usable] = depth_valid[usable]
 
-        cam_mask = have_cam & (rng.uniform(size=S) < self.camera_keep_prob)
-        depth_mask = have_depth & (rng.uniform(size=S) < self.depth_keep_prob)
-        if cam_mask.any() and not cam_mask[0] and have_cam[0]:
-            cam_mask[0] = True  # the reference requires GT on the first frame
-            # when any frame has it (README.md:176)
+        # rebase supervision to the first camera-valid view's normalised frame
+        if have_cam.any():
+            T, scale = _normalizing_transform(exv, have_cam)
+            world_points = (world_points @ T[:3, :3].T + T[:3, 3]) / scale
+            depthv = depthv / scale
+            E = np.tile(np.eye(4, dtype=np.float32), (S, 1, 1))
+            E[:, :3] = exv
+            En = E @ np.linalg.inv(T)[None]
+            En[:, :3, 3] /= scale
+            exv = En[:, :3].astype(np.float32)
+            # frames without camera GT carry no meaningful extrinsics
+            exv[~have_cam] = 0.0
 
         if self.augment is not None:
             import jax
@@ -147,10 +197,12 @@ class SceneDataset:
             "extrinsics": exv[None],
             "intrinsics": Kv[None],
             "depth": depthv[None],
-            "depth_valid": valid[None],
+            "depth_valid": depth_valid[None],
             "world_points": world_points[None],
+            "point_valid": point_valid[None],
             "camera_mask": cam_mask,
             "depth_mask": depth_mask,
+            "camera_valid": have_cam,
         }
 
     def batches(self, n_steps: Optional[int] = None) -> Iterator[dict]:
@@ -162,7 +214,8 @@ class SceneDataset:
 
 def prefetch(iterator: Iterator[dict], depth: int = 2) -> Iterator[dict]:
     """Run `iterator` in a background thread with a bounded queue so host-side
-    loading overlaps device execution."""
+    loading overlaps device execution. Worker exceptions propagate to the
+    consumer (a corrupt sample must fail the run, not silently end it)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
 
@@ -170,8 +223,9 @@ def prefetch(iterator: Iterator[dict], depth: int = 2) -> Iterator[dict]:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -179,4 +233,6 @@ def prefetch(iterator: Iterator[dict], depth: int = 2) -> Iterator[dict]:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -29,13 +29,36 @@ def camera_loss(
     gt_intrinsics: jnp.ndarray,
     image_size_hw,
     gamma: float = 0.8,
+    valid: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """pose_enc_list: (T, B, S, 9) iterates; gt: (B,S,3,4)/(B,S,3,3)."""
-    gt_norm = G.normalize_extrinsics(gt_extrinsics)
-    gt_enc = G.extri_intri_to_pose_encoding(gt_norm, gt_intrinsics, image_size_hw)
+    """pose_enc_list: (T, B, S, 9) iterates; gt: (B,S,3,4)/(B,S,3,3);
+    valid: optional (S,) or (B,S) frame mask — frames without camera GT are
+    excluded (their loader placeholders are zero matrices whose encodings are
+    garbage) and the normalisation rebases to the first VALID camera."""
+    B, S = gt_extrinsics.shape[:2]
+    if valid is None:
+        gt_norm = G.normalize_extrinsics(gt_extrinsics)
+        gt_enc = G.extri_intri_to_pose_encoding(gt_norm, gt_intrinsics, image_size_hw)
+        w_frame = jnp.ones((B, S))
+    else:
+        from omnivggt_tpu.models.aggregator import masked_normalize_extrinsics
+
+        valid = jnp.asarray(valid)
+        if valid.ndim == 1:
+            valid = jnp.broadcast_to(valid[None], (B, S))
+        valid = valid.astype(bool)
+        m4 = valid[:, :, None, None]
+        ex = jnp.where(m4, gt_extrinsics, jnp.broadcast_to(jnp.eye(3, 4), gt_extrinsics.shape))
+        K = jnp.where(m4, gt_intrinsics, jnp.broadcast_to(jnp.eye(3), gt_intrinsics.shape))
+        gt_norm = masked_normalize_extrinsics(ex, valid)
+        gt_enc = G.extri_intri_to_pose_encoding(gt_norm, K, image_size_hw)
+        w_frame = valid.astype(jnp.float32)
+
     T = pose_enc_list.shape[0]
     weights = gamma ** jnp.arange(T - 1, -1, -1)  # last iterate weight 1
-    per_iter = jnp.mean(jnp.abs(pose_enc_list - gt_enc[None]), axis=(1, 2, 3))
+    err = jnp.mean(jnp.abs(pose_enc_list - gt_enc[None]), axis=-1)  # (T,B,S)
+    denom = jnp.maximum(jnp.sum(w_frame), 1.0)
+    per_iter = jnp.sum(err * w_frame[None], axis=(1, 2)) / denom
     return jnp.sum(weights * per_iter)
 
 
@@ -73,6 +96,7 @@ def total_loss(
         batch["extrinsics"],
         batch["intrinsics"],
         image_size_hw,
+        valid=batch.get("camera_valid"),
     )
     losses["depth"] = conf_weighted_l1(
         predictions["depth"],
@@ -84,7 +108,9 @@ def total_loss(
         predictions["world_points"],
         predictions["world_points_conf"],
         batch["world_points"],
-        batch["depth_valid"],
+        # point supervision needs the camera that unprojected it; fall back to
+        # depth validity for synthetic batches that provide dense points
+        batch.get("point_valid", batch["depth_valid"]),
     )
     losses["total"] = (
         w_camera * losses["camera"]

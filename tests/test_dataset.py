@@ -40,11 +40,26 @@ def test_infinigen_full_modality_sample():
     b = ds.sample()
     # infinigen has cameras + .npy depths: world points derived by unprojection
     assert b["depth_mask"].all()
+    assert b["camera_valid"].all()
     assert b["depth_valid"].sum() > 0
     wp = b["world_points"][0]
-    valid = b["depth_valid"][0] > 0
+    valid = b["point_valid"][0] > 0
+    assert valid.any()
     assert np.isfinite(wp[valid]).all()
     assert np.abs(wp[valid]).max() > 0
+
+    # supervision-frame consistency: unprojecting the (normalised) depth with
+    # the (normalised) extrinsics must reproduce the stored world points
+    from omnivggt_tpu.utils.geometry import unproject_depth_map_to_point_map
+
+    re_wp = unproject_depth_map_to_point_map(
+        b["depth"][0], b["extrinsics"][0], b["intrinsics"][0]
+    )
+    np.testing.assert_allclose(re_wp[valid], wp[valid], atol=1e-3, rtol=1e-3)
+    # frame 0 is the normalisation anchor: its extrinsics are ~identity
+    np.testing.assert_allclose(
+        b["extrinsics"][0, 0, :3, :3], np.eye(3), atol=1e-5
+    )
 
     # first-frame camera rule: if any frame keeps camera GT, frame 0 does
     for seed in range(5):
@@ -54,6 +69,17 @@ def test_infinigen_full_modality_sample():
         ).sample()
         if b["camera_mask"].any():
             assert b["camera_mask"][0]
+
+
+def test_prefetch_propagates_errors():
+    def boom():
+        yield {"i": 0}
+        raise RuntimeError("corrupt sample")
+
+    it = prefetch(boom())
+    assert next(it)["i"] == 0
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        next(it)
 
 
 def test_batches_feed_train_step():
@@ -72,9 +98,7 @@ def test_batches_feed_train_step():
     for batch in prefetch(ds.batches(n_steps=2)):
         # tiny config wants tiny images: stride-subsample like the CLI
         st = max(batch["images"].shape[2] // sz, 1)
-        for k in ("images", "depth"):
-            batch[k] = batch[k][:, :, ::st, ::st][:, :, :sz, :sz]
-        for k in ("depth_valid", "world_points"):
+        for k in ("images", "depth", "depth_valid", "world_points", "point_valid"):
             batch[k] = batch[k][:, :, ::st, ::st][:, :, :sz, :sz]
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step(state, batch)
