@@ -30,7 +30,11 @@ def main():
 
     S = int(os.environ.get("BENCH_VIEWS", "8"))
     H = W = 518
-    cfg = OmniVGGTConfig()  # bf16 trunk, fp32 heads
+    # bf16 trunk, fp32 heads (reference parity); BENCH_HEAD_DTYPE=bfloat16
+    # benches the faster approximate-heads mode
+    cfg = OmniVGGTConfig(
+        head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "float32")
+    )
 
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)

@@ -169,9 +169,12 @@ class OmniVGGTConfig:
     point_head: DPTHeadConfig = dataclasses.field(
         default_factory=lambda: DPTHeadConfig(output_dim=4, activation="inv_log")
     )
-    # compute dtype for the aggregator trunk; heads always run fp32
+    # compute dtype for the aggregator trunk; heads default to fp32
     # (the reference wraps heads in autocast(enabled=False), omnivggt.py:45)
     compute_dtype: str = "bfloat16"
+    # head compute dtype — "bfloat16" trades a small accuracy delta for
+    # faster dense heads; fp32 is the reference-parity default
+    head_dtype: str = "float32"
 
     def __post_init__(self):
         # propagate top-level sizes into the aggregator AND the heads,
@@ -203,6 +206,10 @@ class OmniVGGTConfig:
     @property
     def trunk_dtype(self):
         return jnp.dtype(self.compute_dtype)
+
+    @property
+    def heads_dtype(self):
+        return jnp.dtype(self.head_dtype)
 
 
 def tiny_test_config(

@@ -54,11 +54,15 @@ def apply(params, tokens_last: jnp.ndarray, cfg: CameraHeadConfig) -> jnp.ndarra
         (num_iterations, B, S, 9) activated pose encodings, one per iteration
         (the reference returns the same as a Python list).
     """
-    pose_tokens = tokens_last[:, :, 0].astype(jnp.float32)  # (B, S, D)
+    # compute dtype follows the caller's cast (fp32 by default; bf16 when
+    # config.head_dtype requests it); outputs are always fp32
+    pose_tokens = tokens_last[:, :, 0]  # (B, S, D)
     pose_tokens = L.layer_norm(params["token_norm"], pose_tokens, cfg.ln_eps)
     B, S, D = pose_tokens.shape
 
-    empty = jnp.broadcast_to(params["empty_pose_tokens"], (B, S, cfg.target_dim))
+    empty = jnp.broadcast_to(
+        params["empty_pose_tokens"].astype(pose_tokens.dtype), (B, S, cfg.target_dim)
+    )
 
     def trunk(x):
         def body(x, bp):
@@ -88,12 +92,13 @@ def apply(params, tokens_last: jnp.ndarray, cfg: CameraHeadConfig) -> jnp.ndarra
         )
         pred = jnp.where(it == 0, delta, pred_pose_enc + delta)
         activated = activate_pose(
-            pred, trans_act=cfg.trans_act, quat_act=cfg.quat_act, fl_act=cfg.fl_act
+            pred.astype(jnp.float32),
+            trans_act=cfg.trans_act, quat_act=cfg.quat_act, fl_act=cfg.fl_act,
         )
         return pred, activated
 
     _, activated_list = jax.lax.scan(
-        iteration, jnp.zeros((B, S, cfg.target_dim), jnp.float32),
+        iteration, jnp.zeros((B, S, cfg.target_dim), pose_tokens.dtype),
         jnp.arange(cfg.num_iterations),
     )
     return activated_list

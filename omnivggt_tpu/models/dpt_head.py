@@ -176,7 +176,8 @@ def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
     H, W = img_hw
     out_levels = []
     for lvl in range(4):
-        x = tokens4[lvl].astype(jnp.float32)
+        # compute dtype follows the caller's cast (fp32 by default)
+        x = tokens4[lvl]
         x = L.layer_norm(params["norm"], x, cfg.ln_eps)
         x = x.reshape(x.shape[0], ph, pw, cfg.dim_in)
         x = L.conv2d(params["projects"][lvl], x, padding="VALID")
@@ -262,7 +263,8 @@ def apply(params, aggregated_tokens, cfg: DPTHeadConfig, images_hw, patch_start_
         return out.reshape(B, S, *out.shape[1:])
 
     preds, conf = activate_head(
-        out, activation=cfg.activation, conf_activation=cfg.conf_activation
+        out.astype(jnp.float32),
+        activation=cfg.activation, conf_activation=cfg.conf_activation,
     )
     return (
         preds.reshape(B, S, *preds.shape[1:]),

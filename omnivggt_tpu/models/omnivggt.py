@@ -86,7 +86,7 @@ def apply(
         sharding=sharding,
         remat=remat,
     )
-    tokens_buf = tokens_buf.astype(jnp.float32)
+    tokens_buf = tokens_buf.astype(cfg.heads_dtype)
     slot = {l: i for i, l in enumerate(out_layers)}
 
     predictions = {}
@@ -225,6 +225,7 @@ class OmniVGGT:
                 **tup(raw["point_head"], ["out_channels", "intermediate_layer_idx"])
             ),
             compute_dtype=raw["compute_dtype"],
+            head_dtype=raw.get("head_dtype", "float32"),
         )
         template = _jax.eval_shape(lambda: init(_jax.random.PRNGKey(0), cfg))
         params = load_orbax(os.path.join(os.path.abspath(directory), "params"), template)
