@@ -36,7 +36,15 @@ def make_mesh(
         if n % data != 0:
             raise ValueError(f"{n} devices not divisible by data={data}")
         seq = n // data
-    if data * seq != n:
+    if data * seq > n:
+        raise ValueError(
+            f"mesh ({data} data x {seq} seq) needs {data * seq} devices but "
+            f"only {n} are available ({[str(d) for d in devices[:4]]}"
+            f"{'...' if n > 4 else ''}); on a single-chip host provision a "
+            f"virtual CPU backend first (jax_num_cpu_devices / "
+            f"--xla_force_host_platform_device_count)"
+        )
+    if data * seq < n:
         devices = devices[: data * seq]
     dev_array = np.asarray(devices).reshape(data, seq)
     return Mesh(dev_array, (DATA_AXIS, SEQ_AXIS))

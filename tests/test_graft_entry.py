@@ -36,3 +36,29 @@ def test_entry_shapes():
 
     out = jax.eval_shape(fn, params, images)
     assert out.shape == (1, 2, 9)
+
+
+def test_make_mesh_too_few_devices_clear_error():
+    """make_mesh must fail with an explanatory ValueError when the mesh needs
+    more devices than exist (not an opaque numpy reshape error) — the failure
+    mode behind the round-1 red MULTICHIP check."""
+    from omnivggt_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="needs 8 devices|needs 16 devices"):
+        make_mesh(data=2, seq=8, devices=jax.devices()[:2])
+
+
+def test_provision_devices_noop_when_initialized_with_enough():
+    """With the backend already initialised at >= n devices (this suite's
+    8-device CPU backend), provisioning is a no-op rather than an error."""
+    import __graft_entry__ as g
+
+    g._provision_devices(8)
+    assert len(jax.devices()) >= 8
+
+
+def test_provision_devices_errors_when_initialized_too_small():
+    import __graft_entry__ as g
+
+    with pytest.raises(RuntimeError, match="needs 999 devices"):
+        g._provision_devices(999)
