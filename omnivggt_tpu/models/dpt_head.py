@@ -162,6 +162,19 @@ def _apply_pos_embed(x: jnp.ndarray, img_w: int, img_h: int, ratio: float = 0.1)
 # ---------------------------------------------------------------------------
 
 
+def _chunking(K: int, frames_chunk_size) -> tuple:
+    """Split K frames into ceil(K/chunk) groups of `chunk` (last group padded).
+
+    Returns (chunk, pad, n_chunks). The reference chunks by 8
+    (dpt_head.py:152-183) with a ragged final chunk; under jit shapes must be
+    static, so the final chunk is padded instead — e.g. K=13, chunk=8 runs 2
+    map steps, not 13 steps of 1.
+    """
+    chunk = min(frames_chunk_size or K, K)
+    n_chunks = -(-K // chunk)
+    return chunk, n_chunks * chunk - K, n_chunks
+
+
 def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
     """Process one chunk of frames.
 
@@ -241,13 +254,7 @@ def apply(params, aggregated_tokens, cfg: DPTHeadConfig, images_hw, patch_start_
     ).reshape(4, B * S, ph * pw, cfg.dim_in)
 
     K = B * S
-    chunk = cfg.frames_chunk_size or K
-    chunk = min(chunk, K)
-    if K % chunk != 0:
-        # keep shapes static: fall back to one chunk when not divisible
-        divisors = [c for c in range(chunk, 0, -1) if K % c == 0]
-        chunk = divisors[0]
-    n_chunks = K // chunk
+    chunk, pad, n_chunks = _chunking(K, cfg.frames_chunk_size)
 
     def run_chunk(t4):
         return _forward_frames(params, t4, cfg, (ph, pw), (H, W))
@@ -255,9 +262,14 @@ def apply(params, aggregated_tokens, cfg: DPTHeadConfig, images_hw, patch_start_
     if n_chunks == 1:
         out = run_chunk(toks)
     else:
+        # pad the frame axis up to a chunk multiple (shapes stay static; the
+        # padded frames are dead work sliced off below) instead of degrading
+        # to tiny divisor chunks on awkward frame counts
+        if pad:
+            toks = jnp.pad(toks, ((0, 0), (0, pad), (0, 0), (0, 0)))
         toks_c = toks.reshape(4, n_chunks, chunk, ph * pw, cfg.dim_in).transpose(1, 0, 2, 3, 4)
         out = jax.lax.map(run_chunk, toks_c)
-        out = out.reshape(K, *out.shape[2:])
+        out = out.reshape(n_chunks * chunk, *out.shape[2:])[:K]
 
     if cfg.feature_only:
         return out.reshape(B, S, *out.shape[1:])

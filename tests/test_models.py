@@ -407,3 +407,36 @@ def test_full_model_parity(ref, camera_idx, depth_idx):
         preds_t["world_points_conf"].numpy(), np.asarray(preds_j["world_points_conf"]),
         atol=ATOL, rtol=1e-4,
     )
+
+
+def test_dpt_chunk_padding_prime_frame_count():
+    """K=13 frames with chunk 8 must run ceil(13/8)=2 padded map steps (not 13
+    divisor-fallback steps of 1) and produce outputs identical to unchunked."""
+    from omnivggt_tpu.models import dpt_head as DH
+
+    assert DH._chunking(13, 8) == (8, 3, 2)
+    assert DH._chunking(16, 8) == (8, 0, 2)
+    assert DH._chunking(3, 8) == (3, 0, 1)
+    assert DH._chunking(5, None) == (5, 0, 1)
+
+    cfg_kw = dict(
+        dim_in=64, output_dim=2, activation="exp", features=16,
+        out_channels=(16, 32, 64, 64), intermediate_layer_idx=(0, 0, 1, 1),
+    )
+    B, S, H, W, psi = 1, 13, 28, 28, 5
+    n_patch = (H // 14) * (W // 14)
+    rng = np.random.default_rng(3)
+    buf = jnp.asarray(rng.normal(size=(2, B, S, psi + n_patch, 64)), jnp.float32)
+    params = DH.init(jax.random.PRNGKey(0), C.DPTHeadConfig(**cfg_kw))
+
+    chunked = DH.apply(
+        params, buf, C.DPTHeadConfig(frames_chunk_size=8, **cfg_kw),
+        (H, W), psi, (0, 0, 1, 1),
+    )
+    whole = DH.apply(
+        params, buf, C.DPTHeadConfig(frames_chunk_size=None, **cfg_kw),
+        (H, W), psi, (0, 0, 1, 1),
+    )
+    for c, w in zip(chunked, whole):
+        assert c.shape == w.shape
+        np.testing.assert_allclose(np.asarray(c), np.asarray(w), atol=1e-5, rtol=1e-5)
