@@ -89,6 +89,10 @@ class AggregatorConfig:
     ln_eps: float = 1e-5  # torch nn.LayerNorm default (blocks use the default)
     # auxiliary-modality injection (omnivggt_aggregator.py:57-80)
     pose_hidden_dim: int = 9
+    # stochastic depth on the frame/global blocks, train-only (the reference
+    # Block's drop_path, layers/block.py:88-103; applied when the caller
+    # passes a train rng)
+    drop_path_rate: float = 0.0
 
     @property
     def patch_start_idx(self) -> int:

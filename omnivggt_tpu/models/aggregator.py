@@ -199,6 +199,7 @@ def apply(
     attn_impl: str = "auto",
     sharding=None,
     remat: bool = False,
+    train_rng=None,
 ):
     """Run the aggregator.
 
@@ -206,6 +207,8 @@ def apply(
         images: (B, S, H, W, 3) NHWC in [0, 1].
         output_layers: which of the `depth` layer outputs to materialise
             (indices into the reference's aggregated_tokens_list).
+        train_rng: optional PRNGKey enabling train-time stochastic depth at
+            cfg.drop_path_rate (None = eval: deterministic).
 
     Returns:
         (out_buffer, patch_start_idx): out_buffer has shape
@@ -317,7 +320,16 @@ def apply(
     if tuple(cfg.aa_order) not in (("frame", "global"), ("global", "frame")):
         raise NotImplementedError(f"aa_order {cfg.aa_order}")
 
-    def frame_step(tokens, lp):
+    dp_rate = cfg.drop_path_rate if train_rng is not None else 0.0
+    if dp_rate > 0.0:
+        # 2 residual-dropping blocks per layer pair; keys threaded as scan xs
+        dp_keys = jax.random.split(train_rng, cfg.depth * 2).reshape(
+            cfg.depth, 2, -1
+        )
+    else:
+        dp_keys = jnp.zeros((cfg.depth, 2, 2), jnp.uint32)
+
+    def frame_step(tokens, lp, dp_key):
         x = tokens.reshape(B * S, P, C)
         if sharding is not None:
             x = sharding.constrain_rows(x)
@@ -325,6 +337,8 @@ def apply(
             lp["frame"], x, cos_f, sin_f,
             num_heads=cfg.num_heads, ln_eps=cfg.ln_eps, attn_impl=attn_impl,
             shard=frame_shard,
+            drop_path_rate=dp_rate,
+            drop_path_key=dp_key if dp_rate > 0.0 else None,
         )
         x = x.reshape(B, S, P, C)
         # camera re-injection into the camera token (slot 0)
@@ -333,7 +347,7 @@ def apply(
         inj = cam_full @ lp["adapter"]["w"].astype(dtype) + lp["adapter"]["b"].astype(dtype)
         return x.at[:, :, 0, :].add(inj)
 
-    def global_step(tokens, lp):
+    def global_step(tokens, lp, dp_key):
         g = tokens.reshape(B, S * P, C)
         if sharding is not None:
             g = sharding.constrain_tokens_global(g)
@@ -341,6 +355,8 @@ def apply(
             lp["global"], g, cos_g, sin_g,
             num_heads=cfg.num_heads, ln_eps=cfg.ln_eps, attn_impl=attn_impl,
             shard=global_shard,
+            drop_path_rate=dp_rate,
+            drop_path_key=dp_key if dp_rate > 0.0 else None,
         )
         return g.reshape(B, S, P, C)
 
@@ -348,15 +364,15 @@ def apply(
 
     def step(carry, xs):
         tokens, out_buf = carry
-        lp, layer_idx = xs
+        lp, layer_idx, dp_key = xs
 
         if frame_first:
-            frame_inter = frame_step(tokens, lp)
-            global_inter = global_step(frame_inter, lp)
+            frame_inter = frame_step(tokens, lp, dp_key[0])
+            global_inter = global_step(frame_inter, lp, dp_key[1])
             tokens = global_inter
         else:
-            global_inter = global_step(tokens, lp)
-            frame_inter = frame_step(global_inter, lp)
+            global_inter = global_step(tokens, lp, dp_key[0])
+            frame_inter = frame_step(global_inter, lp, dp_key[1])
             tokens = frame_inter
 
         # store this layer's (frame ‖ global) concat if a head consumes it
@@ -382,6 +398,8 @@ def apply(
             step, policy=jax.checkpoint_policies.nothing_saveable
         )
     (tokens, out_buf), _ = jax.lax.scan(
-        step, (tokens.astype(dtype), out_buf), (layer_params, jnp.arange(cfg.depth))
+        step,
+        (tokens.astype(dtype), out_buf),
+        (layer_params, jnp.arange(cfg.depth), dp_keys),
     )
     return out_buf, psi

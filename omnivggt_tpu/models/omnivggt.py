@@ -57,6 +57,7 @@ def apply(
     attn_impl: str = "auto",
     sharding=None,
     remat: bool = False,
+    train_rng=None,
 ):
     """Full forward pass.
 
@@ -66,6 +67,8 @@ def apply(
         aux: optional AuxInputs with GT camera/depth + frame masks.
         sharding: optional parallel.sharding.ModelSharding for multi-chip
             execution.
+        train_rng: optional PRNGKey enabling train-time stochastic depth
+            (cfg.aggregator.drop_path_rate); None = deterministic eval.
 
     Returns:
         prediction dict (all fp32 except `images`).
@@ -85,6 +88,7 @@ def apply(
         attn_impl=attn_impl,
         sharding=sharding,
         remat=remat,
+        train_rng=train_rng,
     )
     tokens_buf = tokens_buf.astype(cfg.heads_dtype)
     slot = {l: i for i, l in enumerate(out_layers)}

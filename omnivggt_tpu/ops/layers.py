@@ -94,6 +94,17 @@ def swiglu_hidden_fused(hidden_features: int) -> int:
     return (int(hidden_features * 2 / 3) + 7) // 8 * 8
 
 
+def drop_path(key, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Stochastic depth (reference layers/drop_path.py:14-24): per-sample
+    Bernoulli keep mask on the leading axis, scaled by 1/keep_prob. The
+    reference's >0.1-rate subset optimisation (block.py:159-186) is a
+    GPU-side compute trick with dynamic shapes; under jit the static mask
+    form (same estimator) is the TPU-native choice."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * (mask.astype(x.dtype) / keep)
+
+
 def conv2d(p, x: jnp.ndarray, stride=(1, 1), padding="SAME") -> jnp.ndarray:
     """NHWC conv with HWIO weights."""
     y = jax.lax.conv_general_dilated(
@@ -220,9 +231,16 @@ def block(
     ln_eps: float = 1e-5,
     attn_impl: str = "auto",
     shard=None,
+    drop_path_rate: float = 0.0,
+    drop_path_key=None,
 ) -> jnp.ndarray:
     """Pre-LN transformer block:
-       x += LS1(Attn(LN(x), rope)); x += LS2(MLP(LN(x)))."""
+       x += DP(LS1(Attn(LN(x), rope))); x += DP(LS2(MLP(LN(x))))
+    where DP is stochastic depth, active only when a drop_path_key is given
+    (training) and drop_path_rate > 0 (reference block.py:81-107)."""
+    use_dp = drop_path_rate > 0.0 and drop_path_key is not None
+    if use_dp:
+        dp1, dp2 = jax.random.split(drop_path_key)
     h = attention(
         p["attn"],
         layer_norm(p["norm1"], x, ln_eps),
@@ -235,10 +253,14 @@ def block(
     )
     if "ls1" in p:
         h = h * p["ls1"]["gamma"].astype(h.dtype)
+    if use_dp:
+        h = drop_path(dp1, h, drop_path_rate)
     x = x + h
     h = mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps))
     if "ls2" in p:
         h = h * p["ls2"]["gamma"].astype(h.dtype)
+    if use_dp:
+        h = drop_path(dp2, h, drop_path_rate)
     return x + h
 
 

@@ -66,15 +66,20 @@ def make_train_step(
     *,
     use_aux_inputs: bool = False,
     remat: bool = True,
+    seed: int = 0,
 ):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch keys: images (B,S,H,W,3), extrinsics, intrinsics, depth,
     depth_valid, world_points; optionally camera_mask/depth_mask (S,) when
     use_aux_inputs (modality-injection training).
-    """
 
-    def loss_fn(params, batch):
+    Stochastic depth (cfg.aggregator.drop_path_rate > 0) draws a fresh rng
+    per step by folding the step counter into `seed`.
+    """
+    base_rng = jax.random.PRNGKey(seed)
+
+    def loss_fn(params, batch, step):
         H, W = batch["images"].shape[2:4]
         aux = None
         if use_aux_inputs:
@@ -86,8 +91,14 @@ def make_train_step(
                 camera_mask=batch["camera_mask"],
                 depth_mask=batch["depth_mask"],
             )
+        train_rng = (
+            jax.random.fold_in(base_rng, step)
+            if cfg.aggregator.drop_path_rate > 0.0
+            else None
+        )
         preds = M.apply(
-            params, batch["images"], cfg, aux, sharding=sharding, remat=remat
+            params, batch["images"], cfg, aux, sharding=sharding, remat=remat,
+            train_rng=train_rng,
         )
         losses = LS.total_loss(preds, batch, (H, W))
         return losses["total"], losses
@@ -95,7 +106,7 @@ def make_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, batch, state.step
         )
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params

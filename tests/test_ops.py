@@ -238,3 +238,47 @@ def test_patch_embed_parity():
         )
     )
     np.testing.assert_allclose(ref, ours, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# DropPath / stochastic depth
+# ---------------------------------------------------------------------------
+
+
+def test_drop_path_mask_values_and_expectation():
+    """Per-sample mask: each sample is either zeroed or scaled by 1/keep_prob
+    (reference layers/drop_path.py:14-24); the estimator is unbiased."""
+    from omnivggt_tpu.ops.layers import drop_path
+
+    x = jnp.ones((512, 3, 4))
+    rate = 0.25
+    y = np.asarray(drop_path(jax.random.PRNGKey(0), x, rate))
+    per_sample = y.reshape(512, -1)
+    # all-or-nothing per sample
+    assert np.all((per_sample == 0.0).all(axis=1) | (per_sample > 0.0).all(axis=1))
+    kept = per_sample[per_sample[:, 0] > 0]
+    np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), rtol=1e-6)
+    # unbiased in expectation (512 samples: loose bound)
+    assert abs(y.mean() - 1.0) < 0.15
+
+
+def test_block_drop_path_eval_vs_train():
+    """No key -> deterministic (identical to rate=0); key + rate -> stochastic
+    but reproducible for a fixed key."""
+    from omnivggt_tpu.ops import layers as L
+
+    p = L.block_init(jax.random.PRNGKey(1), 32, 2, init_values=0.01)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 5, 32)), jnp.float32)
+
+    base = L.block(p, x, num_heads=2)
+    eval_mode = L.block(p, x, num_heads=2, drop_path_rate=0.5, drop_path_key=None)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(eval_mode))
+
+    k = jax.random.PRNGKey(7)
+    t1 = L.block(p, x, num_heads=2, drop_path_rate=0.5, drop_path_key=k)
+    t2 = L.block(p, x, num_heads=2, drop_path_rate=0.5, drop_path_key=k)
+    t3 = L.block(p, x, num_heads=2, drop_path_rate=0.5,
+                 drop_path_key=jax.random.PRNGKey(8))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert not np.array_equal(np.asarray(t1), np.asarray(t3))
+    assert not np.array_equal(np.asarray(t1), np.asarray(base))

@@ -174,3 +174,37 @@ def test_aa_order_global_first():
     p1 = M.apply(params, imgs, cfg)
     p2 = M.apply(params, imgs, cfg2)
     assert np.abs(np.asarray(p1["pose_enc"]) - np.asarray(p2["pose_enc"])).max() > 1e-6
+
+
+def test_train_step_with_drop_path():
+    """Stochastic depth wired through the scan: the step runs, loss is finite,
+    and the forward is stochastic across steps (different fold-in rng) but the
+    eval forward stays deterministic."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        aggregator=dataclasses.replace(cfg.aggregator, drop_path_rate=0.5),
+    )
+    batch = {k: jnp.asarray(v) for k, v in _batch().items()}
+    params = M.init(jax.random.PRNGKey(0), cfg)
+
+    # train_rng makes the forward stochastic; same key reproduces
+    # (run before the train steps: donate_argnums consumes params)
+    r1 = M.apply(params, batch["images"], cfg, train_rng=jax.random.PRNGKey(1))
+    r1b = M.apply(params, batch["images"], cfg, train_rng=jax.random.PRNGKey(1))
+    r2 = M.apply(params, batch["images"], cfg, train_rng=jax.random.PRNGKey(2))
+    ev1 = M.apply(params, batch["images"], cfg)
+    ev2 = M.apply(params, batch["images"], cfg)
+    np.testing.assert_array_equal(np.asarray(r1["depth"]), np.asarray(r1b["depth"]))
+    np.testing.assert_array_equal(np.asarray(ev1["depth"]), np.asarray(ev2["depth"]))
+    assert not np.array_equal(np.asarray(r1["depth"]), np.asarray(r2["depth"]))
+    assert not np.array_equal(np.asarray(r1["depth"]), np.asarray(ev1["depth"]))
+
+    opt = make_optimizer()
+    step = make_train_step(cfg, opt, use_aux_inputs=True, remat=False)
+    state = init_state(params, opt)
+    state, m1 = step(state, batch)
+    state, m2 = step(state, batch)
+    assert np.isfinite(float(m1["total"])) and np.isfinite(float(m2["total"]))
