@@ -327,7 +327,7 @@ def apply(
             cfg.depth, 2, -1
         )
     else:
-        dp_keys = jnp.zeros((cfg.depth, 2, 2), jnp.uint32)
+        dp_keys = None  # eval: no rng xs in the scan at all
 
     def frame_step(tokens, lp, dp_key):
         x = tokens.reshape(B * S, P, C)
@@ -364,7 +364,11 @@ def apply(
 
     def step(carry, xs):
         tokens, out_buf = carry
-        lp, layer_idx, dp_key = xs
+        if dp_keys is not None:
+            lp, layer_idx, dp_key = xs
+        else:
+            lp, layer_idx = xs
+            dp_key = (None, None)
 
         if frame_first:
             frame_inter = frame_step(tokens, lp, dp_key[0])
@@ -397,9 +401,10 @@ def apply(
         step = jax.checkpoint(
             step, policy=jax.checkpoint_policies.nothing_saveable
         )
+    xs = (layer_params, jnp.arange(cfg.depth))
+    if dp_keys is not None:
+        xs = xs + (dp_keys,)
     (tokens, out_buf), _ = jax.lax.scan(
-        step,
-        (tokens.astype(dtype), out_buf),
-        (layer_params, jnp.arange(cfg.depth), dp_keys),
+        step, (tokens.astype(dtype), out_buf), xs
     )
     return out_buf, psi

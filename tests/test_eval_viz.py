@@ -209,3 +209,61 @@ def test_validation():
 
     probs = guard_predictions({"x": np.array([1.0, np.inf])})
     assert probs and "Inf" in probs[0]
+
+
+def test_onnx_sky_path_parity_with_reference(tmp_path):
+    """Drive the ONNX sky-mask code path with a stub session and assert it
+    reproduces the reference pipeline (visual_util.py:422-490: 320x320 resize,
+    BGR->RGB, ImageNet standardisation, min-max -> uint8, resize back,
+    threshold < 32 -> 255) byte-for-byte, so the path can't rot while the
+    real skyseg.onnx is unavailable in this image."""
+    import cv2
+
+    from tests.reference_util import install_reference, reference_available
+    from omnivggt_tpu.viz.sky import _onnx_sky_mask
+
+    if not reference_available():
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+    install_reference()
+    import visual_util as ref_vu
+
+    captured = {}
+
+    class _Tensor:
+        def __init__(self, name):
+            self.name = name
+
+    class StubSession:
+        """Deterministic u2net stand-in: saliency = channel mean of the
+        normalised input, so sky-ish (bright, low-texture) regions score
+        differently from the rest and the <32 threshold is exercised."""
+
+        def get_inputs(self):
+            return [_Tensor("input")]
+
+        def get_outputs(self):
+            return [_Tensor("output")]
+
+        def run(self, out_names, feeds):
+            x = feeds["input"]
+            captured["shape"] = x.shape
+            captured["dtype"] = x.dtype
+            sal = x.mean(axis=1, keepdims=True)  # (1,1,320,320)
+            return [sal]
+
+    img_path = "/root/reference/example/office/images/frame-000002.png"
+    ours = _onnx_sky_mask(img_path, StubSession())
+
+    assert captured["shape"] == (1, 3, 320, 320)
+    assert captured["dtype"] == np.float32
+
+    ref_mask_file = str(tmp_path / "masks" / "m.png")
+    ref = ref_vu.segment_sky(img_path, StubSession(), ref_mask_file)
+
+    assert ours.shape == ref.shape
+    assert set(np.unique(ours)) <= {0, 255}
+    # the threshold must actually split the image (both classes present)
+    assert 0 < (ours == 255).mean() < 1
+    np.testing.assert_array_equal(ours, ref)
