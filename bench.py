@@ -1,13 +1,24 @@
 """Benchmark: flagship OmniVGGT (ViT-L, 1.2B-param class) multi-view inference
 throughput at 518 px, the BASELINE.json metric (views/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline",          # S=8 headline
+   "mfu",                                             # S=8 model FLOPs util
+   "views_per_sec_s64", "mfu_s64"}                    # S=64 sweep point
+
+MFU = analytic forward FLOPs (utils/profiling.flops_estimate) / wall-clock /
+the chip's measured practical matmul peak (~67 TFLOPs bf16 through the axon
+tunnel — see CLAUDE.md; a deliberately honest denominator, not the paper peak).
 
 Baseline: the reference repo publishes no numbers (BASELINE.md); the only
 measurable reference in this environment is the PyTorch reference model on this
 host's CPU. `bench_baseline.json` stores that one-time measurement
 (views/sec, measured via tools/measure_torch_baseline.py); vs_baseline is
 ours / reference. If the file is absent, vs_baseline is null.
+
+Env knobs: BENCH_VIEWS (default 8) headline frame count, BENCH_ITERS (3),
+BENCH_SWEEP=0 to skip the S=64 point, BENCH_HEAD_DTYPE=bfloat16 to bench the
+faster approximate-heads mode.
 """
 
 import json
@@ -15,6 +26,33 @@ import os
 import time
 
 import numpy as np
+
+# measured practical bf16 matmul peak of this chip via the tunnel (TFLOPs)
+ROOFLINE_FLOPS = 67e12
+
+
+def _measure(fwd, params, cfg, S, H, W, iters):
+    """Compile + time `iters` forwards; returns (views/sec, mfu)."""
+    import jax.numpy as jnp
+
+    from omnivggt_tpu.utils.profiling import flops_estimate
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(1, S, H, W, 3)).astype(np.float32))
+
+    # warmup / compile; np.asarray forces a host transfer — on this backend
+    # block_until_ready alone does not wait for execution
+    np.asarray(fwd(params, images)[1])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, images)
+    np.asarray(out[1])  # device executes in order; fetching the last result
+    dt = time.perf_counter() - t0  # waits for the whole queue
+
+    views_per_sec = S * iters / dt
+    mfu = flops_estimate(cfg, S, H, W) * iters / dt / ROOFLINE_FLOPS
+    return views_per_sec, mfu
 
 
 def main():
@@ -49,20 +87,20 @@ def main():
             jnp.sum(preds["world_points"]),
         )
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(size=(1, S, H, W, 3)).astype(np.float32))
-
-    # warmup / compile; np.asarray forces a host transfer — on this backend
-    # block_until_ready alone does not wait for execution
-    np.asarray(fwd(params, images)[1])
-
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, images)
-    np.asarray(out[1])  # device executes in order; fetching the last result
-    dt = time.perf_counter() - t0  # waits for the whole queue
-    views_per_sec = S * iters / dt
+    views_per_sec, mfu = _measure(fwd, params, cfg, S, H, W, iters)
+
+    result = {
+        "metric": "views_per_sec_518px",
+        "value": round(views_per_sec, 4),
+        "unit": "views/sec/chip",
+        "mfu": round(mfu, 4),
+    }
+
+    if os.environ.get("BENCH_SWEEP", "1") != "0":
+        vps64, mfu64 = _measure(fwd, params, cfg, 64, H, W, max(iters // 3, 1))
+        result["views_per_sec_s64"] = round(vps64, 4)
+        result["mfu_s64"] = round(mfu64, 4)
 
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
@@ -71,17 +109,9 @@ def main():
             base = json.load(f)
         if base.get("views_per_sec"):
             vs_baseline = views_per_sec / base["views_per_sec"]
+    result["vs_baseline"] = round(vs_baseline, 2) if vs_baseline else None
 
-    print(
-        json.dumps(
-            {
-                "metric": "views_per_sec_518px",
-                "value": round(views_per_sec, 4),
-                "unit": "views/sec/chip",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-            }
-        )
-    )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
