@@ -50,6 +50,17 @@ def _positions_from_c2w(poses_c2w: np.ndarray) -> np.ndarray:
     return poses_c2w[:, :3, 3]
 
 
+def align_sim3(pred_c2w: np.ndarray, gt_c2w: np.ndarray, correct_scale: bool = True):
+    """Sim(3)-align predicted poses to GT (evo's align=True, correct_scale=True):
+    positions -> s R p + t, orientations -> R @ R_i. Returns aligned (N,4,4)."""
+    p, g = _positions_from_c2w(pred_c2w), _positions_from_c2w(gt_c2w)
+    s, R, t = umeyama_sim3(p, g, with_scale=correct_scale)
+    out = pred_c2w.copy()
+    out[:, :3, 3] = (s * (R @ p.T)).T + t
+    out[:, :3, :3] = R @ pred_c2w[:, :3, :3]
+    return out
+
+
 def ate_rmse(
     pred_c2w: np.ndarray, gt_c2w: np.ndarray, correct_scale: bool = True
 ) -> float:
@@ -85,9 +96,24 @@ def eval_metrics(
     pred_c2w: np.ndarray, gt_c2w: np.ndarray
 ) -> Dict[str, float]:
     """The reference's headline trio (vo_eval.py:163-246): Sim3-aligned ATE
-    RMSE + delta-1 RPE translation/rotation RMSE."""
-    ate = ate_rmse(pred_c2w, gt_c2w, correct_scale=True)
-    rpe_t, rpe_r = rpe(pred_c2w, gt_c2w, delta=1)
+    RMSE + delta-1 RPE translation/rotation RMSE.
+
+    The reference's evo RPE calls also pass align=True + correct_scale=True
+    (vo_eval.py:205-234) — the Sim3 scale rescales the relative translations,
+    so RPE is computed on the *aligned* prediction here too (rotation RPE is
+    invariant to the alignment; translation RPE is not)."""
+    aligned = align_sim3(pred_c2w, gt_c2w, correct_scale=True)
+    ate = float(
+        np.sqrt(
+            np.mean(
+                np.sum(
+                    (_positions_from_c2w(aligned) - _positions_from_c2w(gt_c2w)) ** 2,
+                    axis=-1,
+                )
+            )
+        )
+    )
+    rpe_t, rpe_r = rpe(aligned, gt_c2w, delta=1)
     return {"ate_rmse": ate, "rpe_trans_rmse": rpe_t, "rpe_rot_rmse_deg": rpe_r}
 
 

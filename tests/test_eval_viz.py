@@ -267,3 +267,101 @@ def test_onnx_sky_path_parity_with_reference(tmp_path):
     # the threshold must actually split the image (both classes present)
     assert 0 < (ours == 255).mean() < 1
     np.testing.assert_array_equal(ours, ref)
+
+
+def _indep_traj_metrics(pred, gt):
+    """Independent evaluator, coded from evo's published definitions (Umeyama
+    1991 alignment; APE translation rmse; RPE delta-1 frames with
+    align+correct_scale, matching the reference's evo flags at
+    /root/reference/omnivggt/utils/vo_eval.py:189-234). Cross-checks
+    eval/trajectory.py, which is written differently."""
+    x, y = pred[:, :3, 3], gt[:, :3, 3]
+    n = len(x)
+    mx, my = x.mean(0), y.mean(0)
+    sig2 = np.mean(np.sum((x - mx) ** 2, axis=1))
+    Sigma = (y - my).T @ (x - mx) / n
+    U, d, Vt = np.linalg.svd(Sigma)
+    S = np.eye(3)
+    if np.linalg.det(Sigma) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    c = np.trace(np.diag(d) @ S) / sig2
+    t = my - c * R @ mx
+
+    al = pred.copy()
+    al[:, :3, 3] = (c * (R @ x.T)).T + t
+    al[:, :3, :3] = np.einsum("ab,nbc->nac", R, pred[:, :3, :3])
+    ate = np.sqrt(np.mean(np.sum((al[:, :3, 3] - y) ** 2, -1)))
+    te, re = [], []
+    for i in range(n - 1):
+        rel_q = np.linalg.inv(gt[i]) @ gt[i + 1]
+        rel_p = np.linalg.inv(al[i]) @ al[i + 1]
+        E = np.linalg.inv(rel_q) @ rel_p
+        te.append(np.linalg.norm(E[:3, 3]))
+        re.append(np.degrees(np.arccos(np.clip((np.trace(E[:3, :3]) - 1) / 2, -1, 1))))
+    return ate, np.sqrt(np.mean(np.square(te))), np.sqrt(np.mean(np.square(re)))
+
+
+def _golden_trajectories():
+    def rotz(a):
+        ca, sa = np.cos(a), np.sin(a)
+        return np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1.0]])
+
+    rng = np.random.default_rng(42)
+    N = 20
+    gt = np.tile(np.eye(4), (N, 1, 1))
+    for i in range(N):
+        a = 0.15 * i
+        gt[i, :3, :3] = rotz(a)
+        gt[i, :3, 3] = [np.cos(a) * 3, np.sin(a) * 3, 0.1 * i]
+    S = np.eye(4)
+    S[:3, :3] = 1.7 * rotz(0.4)
+    S[:3, 3] = [5.0, -2.0, 1.0]
+    pred = np.einsum("ab,nbc->nac", S, gt)
+    pred[:, :3, 3] += 0.05 * rng.standard_normal((N, 3))
+    for i in range(N):
+        w = 0.02 * rng.standard_normal(3)
+        th = np.linalg.norm(w)
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+        dR = np.eye(3) + np.sin(th) / th * K + (1 - np.cos(th)) / th**2 * (K @ K)
+        pred[i, :3, :3] = dR @ pred[i, :3, :3]
+    return pred, gt
+
+
+def test_trajectory_metrics_vs_independent_goldens():
+    """eval_metrics pinned two ways: against an independent in-test evaluator
+    on the same synthetic trajectory, and against hardcoded golden values (so
+    both implementations drifting together still trips the test)."""
+    from omnivggt_tpu.eval.trajectory import eval_metrics
+
+    pred, gt = _golden_trajectories()
+    m = eval_metrics(pred, gt)
+    iate, irt, irr = _indep_traj_metrics(pred, gt)
+    np.testing.assert_allclose(m["ate_rmse"], iate, rtol=1e-9)
+    np.testing.assert_allclose(m["rpe_trans_rmse"], irt, rtol=1e-9)
+    np.testing.assert_allclose(m["rpe_rot_rmse_deg"], irr, rtol=1e-9)
+
+    # goldens computed once from the independent implementation
+    np.testing.assert_allclose(m["ate_rmse"], 0.03892494162221198, rtol=1e-8)
+    np.testing.assert_allclose(m["rpe_trans_rmse"], 0.19103070978155992, rtol=1e-8)
+    np.testing.assert_allclose(m["rpe_rot_rmse_deg"], 2.1256200360273634, rtol=1e-8)
+
+
+def test_trajectory_metrics_sim3_invariance():
+    """align=True + correct_scale=True makes the metrics invariant to any
+    global Sim(3) applied to the prediction (the property evo's aligned RPE
+    has and an unaligned RPE does not)."""
+    from omnivggt_tpu.eval.trajectory import eval_metrics
+
+    pred, gt = _golden_trajectories()
+    m0 = eval_metrics(pred, gt)
+    ang, scale, shift = 1.1, 0.33, np.array([-7.0, 0.5, 3.0])
+    R = np.array(
+        [[np.cos(ang), -np.sin(ang), 0], [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]]
+    )
+    pred2 = pred.copy()
+    pred2[:, :3, 3] = scale * pred[:, :3, 3] @ R.T + shift
+    pred2[:, :3, :3] = np.einsum("ab,nbc->nac", R, pred[:, :3, :3])
+    m1 = eval_metrics(pred2, gt)
+    for k in m0:
+        np.testing.assert_allclose(m0[k], m1[k], rtol=1e-7, err_msg=k)
