@@ -200,6 +200,7 @@ def apply(
     sharding=None,
     remat: bool = False,
     train_rng=None,
+    num_valid_frames=None,
 ):
     """Run the aggregator.
 
@@ -209,6 +210,11 @@ def apply(
             (indices into the reference's aggregated_tokens_list).
         train_rng: optional PRNGKey enabling train-time stochastic depth at
             cfg.drop_path_rate (None = eval: deterministic).
+        num_valid_frames: optional traced int32 scalar — frames at positions
+            >= num_valid_frames are shape padding: their tokens are masked out
+            of the global-attention keys so they cannot influence real frames
+            (exact bucketed serving). Frame attention and the patch embedder
+            are per-frame and need no masking.
 
     Returns:
         (out_buffer, patch_start_idx): out_buffer has shape
@@ -347,6 +353,12 @@ def apply(
         inj = cam_full @ lp["adapter"]["w"].astype(dtype) + lp["adapter"]["b"].astype(dtype)
         return x.at[:, :, 0, :].add(inj)
 
+    # padded frames (bucketed serving) must be invisible as global-attention
+    # keys; token order is frame-major, so valid tokens form a prefix
+    kv_valid_tokens = (
+        None if num_valid_frames is None else num_valid_frames * P
+    )
+
     def global_step(tokens, lp, dp_key):
         g = tokens.reshape(B, S * P, C)
         if sharding is not None:
@@ -357,6 +369,7 @@ def apply(
             shard=global_shard,
             drop_path_rate=dp_rate,
             drop_path_key=dp_key if dp_rate > 0.0 else None,
+            kv_valid=kv_valid_tokens,
         )
         return g.reshape(B, S, P, C)
 

@@ -46,9 +46,17 @@ def init(key, cfg: CameraHeadConfig):
     }
 
 
-def apply(params, tokens_last: jnp.ndarray, cfg: CameraHeadConfig) -> jnp.ndarray:
+def apply(
+    params,
+    tokens_last: jnp.ndarray,
+    cfg: CameraHeadConfig,
+    num_valid_frames=None,
+) -> jnp.ndarray:
     """Args:
         tokens_last: (B, S, P, 2C) final aggregated layer.
+        num_valid_frames: optional traced int32 scalar — the trunk attends
+            across the S frame tokens, so padded frames (bucketed serving)
+            are masked out of its keys.
 
     Returns:
         (num_iterations, B, S, 9) activated pose encodings, one per iteration
@@ -67,7 +75,11 @@ def apply(params, tokens_last: jnp.ndarray, cfg: CameraHeadConfig) -> jnp.ndarra
     def trunk(x):
         def body(x, bp):
             return (
-                L.block(bp, x, num_heads=cfg.num_heads, ln_eps=cfg.ln_eps), None
+                L.block(
+                    bp, x, num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
+                    kv_valid=num_valid_frames,
+                ),
+                None,
             )
         x, _ = jax.lax.scan(body, x, params["trunk"])
         return x

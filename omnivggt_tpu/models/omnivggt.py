@@ -58,6 +58,7 @@ def apply(
     sharding=None,
     remat: bool = False,
     train_rng=None,
+    num_valid_frames=None,
 ):
     """Full forward pass.
 
@@ -69,6 +70,10 @@ def apply(
             execution.
         train_rng: optional PRNGKey enabling train-time stochastic depth
             (cfg.aggregator.drop_path_rate); None = deterministic eval.
+        num_valid_frames: optional traced int32 scalar — frames at positions
+            >= num_valid_frames are shape padding (bucketed serving) and are
+            masked out of all cross-frame attention, so real-frame outputs
+            equal the unpadded forward's.
 
     Returns:
         prediction dict (all fp32 except `images`).
@@ -89,13 +94,17 @@ def apply(
         sharding=sharding,
         remat=remat,
         train_rng=train_rng,
+        num_valid_frames=num_valid_frames,
     )
     tokens_buf = tokens_buf.astype(cfg.heads_dtype)
     slot = {l: i for i, l in enumerate(out_layers)}
 
     predictions = {}
     pose_enc_list = chead.apply(
-        params["camera_head"], tokens_buf[slot[cfg.aggregator.depth - 1]], cfg.camera_head
+        params["camera_head"],
+        tokens_buf[slot[cfg.aggregator.depth - 1]],
+        cfg.camera_head,
+        num_valid_frames=num_valid_frames,
     )
     predictions["pose_enc"] = pose_enc_list[-1]
     predictions["pose_enc_list"] = pose_enc_list

@@ -27,24 +27,37 @@ _XLA_MAX_SEQ = 4096
 _BLOCK_K = 1024
 
 
-def _attention_xla(q, k, v):
-    """(B, N, H, D) full attention with fp32 softmax."""
+# finite "minus infinity": true -inf hits VPU special-value slow paths on TPU
+# and is far below any real logit either way
+_NEG_INF = -1e30
+
+
+def _attention_xla(q, k, v, kv_valid=None):
+    """(B, N, H, D) full attention with fp32 softmax. kv_valid (optional
+    traced int32 scalar) masks keys at positions >= kv_valid — the valid
+    prefix form used to make padded frames invisible (serving bucket mode)."""
     D = q.shape[-1]
     scale = D**-0.5
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if kv_valid is not None:
+        key_idx = jnp.arange(k.shape[1])
+        scores = jnp.where(
+            key_idx[None, None, None, :] < kv_valid, scores, _NEG_INF
+        )
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum(
         "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(q.dtype)
 
 
-def _attention_blockwise(q, k, v, block_k: int = _BLOCK_K):
+def _attention_blockwise(q, k, v, block_k: int = _BLOCK_K, kv_valid=None):
     """Streaming-softmax attention: scan over key blocks with a running
     (max, denominator, accumulator) carry. Memory O(N_q * block_k)."""
     B, N, H, D = q.shape
     scale = D**-0.5
+    limit = N if kv_valid is None else kv_valid
 
     pad = (-N) % block_k
     if pad:
@@ -60,9 +73,9 @@ def _attention_blockwise(q, k, v, block_k: int = _BLOCK_K):
         m_prev, d_prev, acc_prev = carry
         k_blk, v_blk, blk_idx = kv
         s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32))
-        # mask padded keys in the final block
+        # mask padded keys in the final block (and any beyond kv_valid)
         key_idx = blk_idx * block_k + jnp.arange(block_k)
-        s = jnp.where(key_idx[None, None, None, :] < N, s, -jnp.inf)
+        s = jnp.where(key_idx[None, None, None, :] < limit, s, -jnp.inf)
         m_blk = jnp.max(s, axis=-1)  # (B,H,Q)
         m_new = jnp.maximum(m_prev, m_blk)
         p = jnp.exp(s - m_new[..., None])
@@ -95,8 +108,13 @@ def scaled_dot_product_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     impl: str = "auto",
+    kv_valid=None,
 ) -> jnp.ndarray:
-    """Non-causal multi-head attention over (B, N, H, D) tensors."""
+    """Non-causal multi-head attention over (B, N, H, D) tensors.
+
+    kv_valid: optional traced int32 scalar — keys at positions >= kv_valid are
+    masked out of the softmax (valid-prefix masking; used to make padded
+    frames exact no-ops in bucketed serving)."""
     N = q.shape[1]
     if impl == "auto":
         if N <= _XLA_MAX_SEQ:
@@ -107,11 +125,11 @@ def scaled_dot_product_attention(
             impl = "blockwise"
 
     if impl == "xla":
-        return _attention_xla(q, k, v)
+        return _attention_xla(q, k, v, kv_valid=kv_valid)
     if impl == "blockwise":
-        return _attention_blockwise(q, k, v)
+        return _attention_blockwise(q, k, v, kv_valid=kv_valid)
     if impl == "flash":
         from omnivggt_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, kv_valid=kv_valid)
     raise ValueError(f"unknown attention impl: {impl}")

@@ -147,6 +147,7 @@ def attention(
     ln_eps: float = 1e-5,
     impl: str = "auto",
     shard=None,
+    kv_valid=None,
 ) -> jnp.ndarray:
     """Multi-head self-attention with fused QKV, optional per-head-dim q/k
     LayerNorm, and 2D RoPE applied to q and k.
@@ -156,6 +157,8 @@ def attention(
         rope_cos/rope_sin: (N, head_dim) precomputed axial RoPE tables (or None).
         shard: optional AttnShard (parallel/sharding.py) selecting a
             mesh-parallel attention strategy.
+        kv_valid: optional traced int32 scalar masking keys >= kv_valid
+            (valid-prefix masking).
     """
     B, N, C = x.shape
     head_dim = C // num_heads
@@ -171,9 +174,11 @@ def attention(
         k = apply_rope(k, rope_cos, rope_sin)
 
     if shard is not None:
-        o = shard.attend(q, k, v, impl)
+        o = shard.attend(q, k, v, impl, kv_valid=kv_valid)
     else:
-        o = scaled_dot_product_attention(q, k, v, impl=impl)  # (B, N, H, D)
+        o = scaled_dot_product_attention(
+            q, k, v, impl=impl, kv_valid=kv_valid
+        )  # (B, N, H, D)
     o = o.reshape(B, N, C)
     return linear(p["proj"], o)
 
@@ -233,6 +238,7 @@ def block(
     shard=None,
     drop_path_rate: float = 0.0,
     drop_path_key=None,
+    kv_valid=None,
 ) -> jnp.ndarray:
     """Pre-LN transformer block:
        x += DP(LS1(Attn(LN(x), rope))); x += DP(LS2(MLP(LN(x))))
@@ -250,6 +256,7 @@ def block(
         ln_eps=ln_eps,
         impl=attn_impl,
         shard=shard,
+        kv_valid=kv_valid,
     )
     if "ls1" in p:
         h = h * p["ls1"]["gamma"].astype(h.dtype)

@@ -33,8 +33,14 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, n_keys, block_k
+    *refs, scale, n_keys, block_k, dynamic_valid
 ):
+    if dynamic_valid:
+        # kv_valid: (1, 1) int32 in SMEM — number of valid (unmasked) keys
+        nv_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        nv_ref = None
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -56,9 +62,14 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )  # (bq, bk)
 
-    # mask zero-padded keys — only the last block can contain padding, and
-    # only when n_keys is not a multiple of block_k (static)
-    if n_keys % block_k != 0:
+    # mask invalid keys. Static case: only the final block can contain
+    # (zero-)padding, and only when n_keys is not a multiple of block_k.
+    # Dynamic case (kv_valid given): the valid-key count is a runtime scalar,
+    # so every block masks against it (one extra VPU pass over the score tile).
+    if dynamic_valid:
+        key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(key_idx < nv_ref[0, 0], s, _NEG_INF)
+    elif n_keys % block_k != 0:
         key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(key_idx < n_keys, s, _NEG_INF)
 
@@ -83,7 +94,7 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, block_q, block_k):
+def _flash_forward(q, k, v, block_q, block_k, kv_valid=None):
     B, N, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5
@@ -105,17 +116,30 @@ def _flash_forward(q, k, v, block_q, block_k):
         vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
 
     grid = (B * H, qf.shape[1] // block_q, kf.shape[1] // block_k)
+    dynamic_valid = kv_valid is not None
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+        pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+        pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+    ]
+    inputs = [qf, kf, vf]
+    if dynamic_valid:
+        in_specs.insert(
+            0,
+            pl.BlockSpec(
+                (1, 1), lambda b, qi, ki: (0, 0), memory_space=pltpu.SMEM
+            ),
+        )
+        inputs.insert(0, jnp.asarray(kv_valid, jnp.int32).reshape(1, 1))
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, n_keys=Nk, block_k=block_k
+            _flash_kernel, scale=scale, n_keys=Nk, block_k=block_k,
+            dynamic_valid=dynamic_valid,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
         scratch_shapes=[
@@ -126,7 +150,7 @@ def _flash_forward(q, k, v, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qf, kf, vf)
+    )(*inputs)
 
     if pad_q:
         out = out[:, :N]
@@ -137,9 +161,20 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def flash_attention(
+    q, k, v, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, kv_valid=None
+):
+    """Non-causal flash attention over (B, N, H, D) tensors; differentiable.
+
+    kv_valid: optional traced int32 scalar — keys >= kv_valid are masked
+    (valid-prefix masking for bucketed serving)."""
+    if kv_valid is None:
+        return _flash_unmasked(q, k, v, block_q, block_k)
+    return _flash_masked(q, k, v, jnp.asarray(kv_valid, jnp.int32), block_q, block_k)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention(q, k, v, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
-    """Non-causal flash attention over (B, N, H, D) tensors."""
+def _flash_unmasked(q, k, v, block_q, block_k):
     return _flash_forward(q, k, v, block_q, block_k)
 
 
@@ -155,4 +190,30 @@ def _bwd(block_q, block_k, res, g):
     return vjp(g)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_unmasked.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_masked(q, k, v, kv_valid, block_q, block_k):
+    return _flash_forward(q, k, v, block_q, block_k, kv_valid=kv_valid)
+
+
+def _masked_fwd(q, k, v, kv_valid, block_q, block_k):
+    out = _flash_forward(q, k, v, block_q, block_k, kv_valid=kv_valid)
+    return out, (q, k, v, kv_valid)
+
+
+def _masked_bwd(block_q, block_k, res, g):
+    import numpy as _np
+
+    from omnivggt_tpu.ops.attention import _attention_blockwise
+
+    q, k, v, kv_valid = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _attention_blockwise(q, k, v, kv_valid=kv_valid), q, k, v
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, _np.zeros((), jax.dtypes.float0)
+
+
+_flash_masked.defvjp(_masked_fwd, _masked_bwd)

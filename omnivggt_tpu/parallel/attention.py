@@ -43,19 +43,40 @@ def allgather_attention(
     mesh: Mesh,
     seq_axis: str = "seq",
     impl: str = "auto",
+    kv_valid=None,
 ) -> jnp.ndarray:
-    """Sequence-sharded attention with all-gathered KV."""
+    """Sequence-sharded attention with all-gathered KV. kv_valid masks keys
+    >= kv_valid of the *global* (gathered) sequence — the tiled all_gather
+    restores global token order, so the valid prefix stays a prefix."""
     spec = _qkv_spec(seq_axis)
 
-    def inner(q, k, v):
+    if kv_valid is None:
+
+        def inner(q, k, v):
+            k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
+            v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
+            return scaled_dot_product_attention(q, k_full, v_full, impl=impl)
+
+        return shard_map(
+            inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )(q, k, v)
+
+    def inner_masked(q, k, v, nv):
         k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
-        return scaled_dot_product_attention(q, k_full, v_full, impl=impl)
+        return scaled_dot_product_attention(
+            q, k_full, v_full, impl=impl, kv_valid=nv[0]
+        )
 
+    nv = jnp.asarray(kv_valid, jnp.int32).reshape(1)
     return shard_map(
-        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        inner_masked,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(None)),
+        out_specs=spec,
         check_vma=False,
-    )(q, k, v)
+    )(q, k, v, nv)
 
 
 def ring_attention(

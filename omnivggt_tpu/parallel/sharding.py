@@ -27,14 +27,26 @@ class AttnShard:
     kind: str  # "rows" | "allgather" | "ring"
     axis: object = (DATA_AXIS, SEQ_AXIS)  # rows spec or seq axis name
 
-    def attend(self, q, k, v, impl):
+    def attend(self, q, k, v, impl, kv_valid=None):
         if self.kind == "rows":
+            if kv_valid is not None:
+                raise ValueError(
+                    "kv_valid does not apply to rows-sharded (per-frame) "
+                    "attention"
+                )
             return pattn.rows_sharded_attention(
                 q, k, v, self.mesh, self.axis, impl=impl
             )
         if self.kind == "allgather":
-            return pattn.allgather_attention(q, k, v, self.mesh, self.axis, impl=impl)
+            return pattn.allgather_attention(
+                q, k, v, self.mesh, self.axis, impl=impl, kv_valid=kv_valid
+            )
         if self.kind == "ring":
+            if kv_valid is not None:
+                raise NotImplementedError(
+                    "valid-prefix masking is not wired into the ring strategy;"
+                    " use global_attn='allgather' for bucketed serving"
+                )
             return pattn.ring_attention(q, k, v, self.mesh, self.axis)
         raise ValueError(self.kind)
 

@@ -3,12 +3,13 @@
 A minimal production-style serving layer over the jit-compiled model:
 
   - `InferenceSession`: owns params + a cache of compiled forwards keyed on
-    (S, H, W, modality combo). By default every distinct frame count compiles
-    its own executable ("exact" mode — results are exact). Opt-in
-    pad_mode="bucket" pads the frame count up to the next bucket so a handful
-    of compilations serve arbitrary scene sizes; padding frames participate in
-    global attention, so bucketed results are approximations of the unpadded
-    forward (cheaper compiles, slightly different numbers).
+    (bucketed S, H, W, modality combo). The default pad_mode="bucket" pads the
+    frame count up to the next bucket so a handful of compilations serve
+    arbitrary scene sizes; padded frames are masked out of every cross-frame
+    attention (num_valid_frames plumbed through the model), so bucketed
+    results match the unpadded forward exactly (up to reduction-order float
+    noise, < 1e-5). pad_mode="exact" compiles one executable per distinct
+    frame count instead.
   - `serve()`: a stdlib HTTP endpoint — POST /infer with an .npz body
     (images [+ extrinsics/intrinsics/depth/mask + camera_gt_index/
     depth_gt_index]) returns an .npz of predictions. GET /healthz for liveness.
@@ -38,7 +39,7 @@ class InferenceSession:
 
     def __init__(self, model=None, config=None, params=None,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, sharding=None,
-                 pad_mode: str = "exact"):
+                 pad_mode: str = "bucket"):
         from omnivggt_tpu.models.omnivggt import OmniVGGT
 
         if model is None:
@@ -130,14 +131,32 @@ class InferenceSession:
                 cfg = self.model.config
                 sharding = self.sharding
 
-                @jax.jit
-                def fwd(params, images, aux):
-                    return M.apply(params, images, cfg, aux, sharding=sharding)
+                if self.pad_mode == "bucket":
+                    # num_valid_frames is a *traced* scalar: one executable
+                    # per bucket serves every S <= bucket, with padded frames
+                    # masked out of all cross-frame attention (exact results)
+                    @jax.jit
+                    def fwd(params, images, aux, nv):
+                        return M.apply(
+                            params, images, cfg, aux, sharding=sharding,
+                            num_valid_frames=nv,
+                        )
+                else:
+                    @jax.jit
+                    def fwd(params, images, aux):
+                        return M.apply(
+                            params, images, cfg, aux, sharding=sharding
+                        )
 
                 self._jitted[key] = fwd
             fwd = self._jitted[key]
 
-        preds = fwd(self.model.params, jnp.asarray(imgs), aux)
+        if self.pad_mode == "bucket":
+            preds = fwd(
+                self.model.params, jnp.asarray(imgs), aux, jnp.int32(S)
+            )
+        else:
+            preds = fwd(self.model.params, jnp.asarray(imgs), aux)
         out = {}
         for k, v in preds.items():
             arr = np.asarray(v)

@@ -282,3 +282,61 @@ def test_block_drop_path_eval_vs_train():
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
     assert not np.array_equal(np.asarray(t1), np.asarray(t3))
     assert not np.array_equal(np.asarray(t1), np.asarray(base))
+
+
+def test_attention_kv_valid_masking_all_impls():
+    """Valid-prefix key masking: every impl must equal unpadded attention on
+    the valid slice, for padded inputs of any garbage content."""
+    from omnivggt_tpu.ops.attention import (
+        _attention_blockwise,
+        scaled_dot_product_attention,
+    )
+    from omnivggt_tpu.ops.pallas import flash_attention as FA
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(9)
+    NV, NPAD = 150, 250  # 100 garbage key rows appended
+    q = jnp.asarray(rng.normal(size=(2, NPAD, 2, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, NPAD, 2, 64)) * 5).astype(jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, NPAD, 2, 64)) * 5).astype(jnp.float32)
+
+    ref = np.asarray(_attention_xla(q[:, :NV], k[:, :NV], v[:, :NV]))
+
+    for impl in ("xla", "blockwise"):
+        out = np.asarray(
+            scaled_dot_product_attention(q, k, v, impl=impl, kv_valid=NV)
+        )
+        np.testing.assert_allclose(out[:, :NV], ref, atol=1e-4, rtol=1e-4, err_msg=impl)
+
+    out = np.asarray(_attention_blockwise(q, k, v, block_k=64, kv_valid=NV))
+    np.testing.assert_allclose(out[:, :NV], ref, atol=1e-4, rtol=1e-4)
+
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
+        out = np.asarray(
+            FA._flash_forward(q, k, v, 64, 128, kv_valid=jnp.int32(NV))
+        )
+    np.testing.assert_allclose(out[:, :NV], ref, atol=1e-4, rtol=1e-4)
+
+    # gradients flow through the masked flash path (blockwise-recompute VJP);
+    # the loss covers only valid query rows (padded-query outputs are
+    # discarded downstream, exactly as in bucketed serving)
+    def loss(q, k, v):
+        out = FA.flash_attention(q, k, v, kv_valid=jnp.int32(NV))
+        return jnp.sum(out[:, :NV] ** 2)
+
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    # reference grads on the valid slice via unpadded attention
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(_attention_xla(q, k, v) ** 2), argnums=(0, 1, 2)
+    )(q[:, :NV], k[:, :NV], v[:, :NV])
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(g[i][:, :NV]), np.asarray(g_ref[i]), atol=1e-2, rtol=2e-2
+        )
+    # masked keys/values receive zero gradient
+    assert np.abs(np.asarray(g[1][:, NV:])).max() == 0.0
+    assert np.abs(np.asarray(g[2][:, NV:])).max() == 0.0

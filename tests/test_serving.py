@@ -16,12 +16,12 @@ from omnivggt_tpu.serving import InferenceSession, serve
 @pytest.fixture(scope="module")
 def session():
     return InferenceSession(
-        OmniVGGT(tiny_test_config()), buckets=(2, 4)
+        OmniVGGT(tiny_test_config()), buckets=(2, 4), pad_mode="exact"
     )
 
 
 def test_session_exact_mode_matches_direct_forward(session):
-    """Default pad_mode='exact': serving results == a direct model call."""
+    """pad_mode='exact': serving results == a direct model call."""
     rng = np.random.default_rng(0)
     imgs3 = rng.uniform(size=(3, 28, 28, 3)).astype(np.float32)
     out = session.infer(imgs3)
@@ -107,3 +107,41 @@ def test_http_endpoint(session):
             assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_bucketed_equals_exact():
+    """The default bucket mode masks padded frames out of every cross-frame
+    attention, so a 3-frame scene served through the 4-bucket must match the
+    exact (unpadded) forward — images-only AND with aux modalities."""
+    model = OmniVGGT(tiny_test_config())
+    bucketed = InferenceSession(model, buckets=(4,), pad_mode="bucket")
+    exact = InferenceSession(model, buckets=(4,), pad_mode="exact")
+    assert InferenceSession(model).pad_mode == "bucket"  # the default
+
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(size=(3, 28, 28, 3)).astype(np.float32)
+
+    out_b = bucketed.infer(imgs)
+    out_e = exact.infer(imgs)
+    assert list(bucketed._jitted) == [(4, 28, 28, False, False)]
+    for k in out_e:
+        assert out_b[k].shape == out_e[k].shape, k
+        np.testing.assert_allclose(
+            out_b[k], out_e[k], atol=2e-5, rtol=1e-5, err_msg=k
+        )
+
+    # with camera + depth injection on a subset of frames
+    ex = np.tile(np.eye(3, 4, dtype=np.float32), (3, 1, 1))
+    ex[:, :3, 3] = rng.normal(size=(3, 3))
+    K = np.tile(np.diag([30.0, 30.0, 1.0]).astype(np.float32), (3, 1, 1))
+    K[:, 0, 2] = K[:, 1, 2] = 14
+    depth = rng.uniform(0.5, 3.0, size=(3, 28, 28, 1)).astype(np.float32)
+    msk = np.ones((3, 28, 28), np.float32)
+    kw = dict(extrinsics=ex, intrinsics=K, depth=depth, mask=msk,
+              camera_gt_index=[0, 2], depth_gt_index=[1])
+    out_b = bucketed.infer(imgs, **kw)
+    out_e = exact.infer(imgs, **kw)
+    for k in out_e:
+        np.testing.assert_allclose(
+            out_b[k], out_e[k], atol=2e-5, rtol=1e-5, err_msg=k
+        )
