@@ -5,13 +5,21 @@ TPU equivalent of the torch SDPA flash path the reference relies on
 key blocks keeps memory O(block_q * block_k) in VMEM; the (q @ k^T) and
 (p @ v) matmuls ride the MXU with fp32 accumulation.
 
-Layout: (B, N, H, D) in HBM; the kernel runs on (B*H, N, D) with grid
+Layout: (B, N, H, D) in HBM; the forward runs on (B*H, N, D) with grid
 (BH, q_blocks, k_blocks), k innermost so the scratch accumulator carries the
-running (max, denom, acc) across key blocks for one q tile.
+running (max, denom, acc) across key blocks for one q tile. The forward also
+emits the log-sum-exp rows when training.
 
-The backward pass is provided by a custom VJP that recomputes attention with
-the XLA blockwise implementation (memory-linear), so the op is differentiable
-for training while inference uses the fused kernel.
+The backward pass is fused too (the reference trains through cuDNN's fused
+flash backward): two Pallas kernels recompute probabilities from the saved
+LSE — one accumulates dq over key blocks, the other accumulates dk/dv over
+query blocks. Both work in transposed score space, (block_k, block_q), so the
+per-row LSE/delta vectors stay lane-oriented (no sublane<->lane relayouts in
+the hot loop). delta = rowsum(dO * O) is precomputed in XLA (one fused
+elementwise pass).
+
+The kv_valid (valid-prefix masked) variant keeps an XLA blockwise-recompute
+VJP: it exists for bucketed serving, which never differentiates.
 """
 
 from __future__ import annotations
@@ -33,14 +41,19 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    *refs, scale, n_keys, block_k, dynamic_valid
+    *refs, scale, n_keys, block_k, dynamic_valid, return_lse=False
 ):
     if dynamic_valid:
         # kv_valid: (1, 1) int32 in SMEM — number of valid (unmasked) keys
-        nv_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        nv_ref, q_ref, k_ref, v_ref, *refs = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, *refs = refs
         nv_ref = None
+    if return_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        o_ref, m_scr, l_scr, acc_scr = refs
+        lse_ref = None
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -92,9 +105,15 @@ def _flash_kernel(
     @pl.when(ki == nk - 1)
     def _():
         o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        if return_lse:
+            # sublane-oriented per-row stats; stored (bq, 8) — the minimal
+            # legal trailing tile — so the backward reads them back with no
+            # sublane<->lane relayout
+            lse = m_scr[:, :1] + jnp.log(l_scr[:, :1])
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_forward(q, k, v, block_q, block_k, kv_valid=None):
+def _flash_forward(q, k, v, block_q, block_k, kv_valid=None, return_lse=False):
     B, N, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5
@@ -133,15 +152,27 @@ def _flash_forward(q, k, v, block_q, block_k, kv_valid=None):
         )
         inputs.insert(0, jnp.asarray(kv_valid, jnp.int32).reshape(1, 1))
 
+    out_specs = pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0))
+    out_shape = jax.ShapeDtypeStruct(qf.shape, q.dtype)
+    if return_lse:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, block_q, 8), lambda b, qi, ki: (b, qi, 0)),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((B * H, qf.shape[1], 8), jnp.float32),
+        )
+
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, n_keys=Nk, block_k=block_k,
-            dynamic_valid=dynamic_valid,
+            dynamic_valid=dynamic_valid, return_lse=return_lse,
         ),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -152,6 +183,11 @@ def _flash_forward(q, k, v, block_q, block_k, kv_valid=None):
         ),
     )(*inputs)
 
+    if return_lse:
+        out, lse = out
+        if pad_q:
+            out, lse = out[:, :N], lse[:, :N]
+        return out.reshape(B, H, N, D).transpose(0, 2, 1, 3), lse[..., 0]
     if pad_q:
         out = out[:, :N]
     return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
@@ -159,6 +195,191 @@ def _flash_forward(q, k, v, block_q, block_k, kv_valid=None):
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# fused backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_recompute(
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, *, scale, n_keys,
+    block_k, key_block_idx
+):
+    """Shared backward recompute: returns (p, ds), both (block_q, block_k)
+    fp32, where p = softmax(scale * q k^T) rebuilt from the saved LSE and
+    ds = p * (dP - delta) with dP = dO v^T, delta = rowsum(dO * O). LSE is
+    stored sublane-oriented ((bq, 8) tiles, column 0), so the per-row
+    broadcasts need no relayout."""
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    if n_keys % block_k != 0:
+        # zero-padded keys must contribute p=0 to dq (their own dk/dv rows
+        # are sliced off by the caller)
+        key_idx = key_block_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(key_idx < n_keys, s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    do = do_ref[0]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, bk)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # (bq, 1) — cheap to recompute per tile vs plumbing another input
+    ds = p * (dp - delta)
+    return p, ds
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, acc_scr,
+    *, scale, n_keys, block_k
+):
+    """Grid (BH, q_blocks, k_blocks), k innermost: dq[qi] = scale * sum_ki
+    ds @ k."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    _, ds = _bwd_recompute(
+        q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+        scale=scale, n_keys=n_keys, block_k=block_k, key_block_idx=ki,
+    )
+    acc_scr[:] += jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, D)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        dq_ref[0] = (acc_scr[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, scale, n_keys, block_k
+):
+    """Grid (BH, k_blocks, q_blocks), q innermost: dv[ki] = sum_qi p^T @ dO,
+    dk[ki] = scale * sum_qi ds^T @ q (MXU contracts the sublane dim natively).
+    Zero-padded query rows contribute nothing: their dO and O rows are zero,
+    so ds = p * (0 - 0) = 0 and p^T @ 0 = 0."""
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    p, ds = _bwd_recompute(
+        q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+        scale=scale, n_keys=n_keys, block_k=block_k,
+        key_block_idx=pl.program_id(1),
+    )
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, D)
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bk, D)
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = (dk_scr[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, do, lse, block_q, block_k):
+    """Fused flash-attention backward: (dq, dk, dv) in the input layout."""
+    B, N, H, D = q.shape
+    Nk = k.shape[1]
+    scale = D**-0.5
+
+    def to_bhnd(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
+
+    qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    dof, of = to_bhnd(do), to_bhnd(o)
+
+    block_q = min(block_q, max(_round_up(N, 8), 8))
+    block_k = min(block_k, max(_round_up(Nk, 128), 128))
+    pad_q = (-N) % block_q
+    pad_k = (-Nk) % block_k
+    if pad_q:
+        qf = jnp.pad(qf, ((0, 0), (0, pad_q), (0, 0)))
+        dof = jnp.pad(dof, ((0, 0), (0, pad_q), (0, 0)))
+        of = jnp.pad(of, ((0, 0), (0, pad_q), (0, 0)))
+        lse = jnp.pad(lse, ((0, 0), (0, pad_q)))
+    if pad_k:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+    # sublane-oriented (BH, Nq, 8) layout (column 0 read in-kernel)
+    lse8 = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
+
+    BH = B * H
+    nq = qf.shape[1] // block_q
+    nk = kf.shape[1] // block_k
+
+    q_spec = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))
+    k_spec_q = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0))
+    row_spec = pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, n_keys=Nk, block_k=block_k
+        ),
+        grid=(BH, nq, nk),
+        in_specs=[q_spec, k_spec_q, k_spec_q, q_spec, q_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, dof, of, lse8)
+
+    # dkv grid: (BH, k_blocks, q_blocks) — q innermost
+    q_spec_k = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, j, 0))
+    k_spec_k = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, i, 0))
+    row_spec_k = pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, j, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, n_keys=Nk, block_k=block_k
+        ),
+        grid=(BH, nk, nq),
+        in_specs=[
+            q_spec_k, k_spec_k, k_spec_k, q_spec_k, q_spec_k, row_spec_k
+        ],
+        out_specs=(k_spec_k, k_spec_k),
+        out_shape=(
+            jax.ShapeDtypeStruct(kf.shape, k.dtype),
+            jax.ShapeDtypeStruct(vf.shape, v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, dof, of, lse8)
+
+    def from_bhnd(x, n):
+        return x[:, :n].reshape(B, H, n, D).transpose(0, 2, 1, 3)
+
+    return from_bhnd(dq, N), from_bhnd(dk, Nk), from_bhnd(dv, Nk)
 
 
 def flash_attention(
@@ -179,15 +400,13 @@ def _flash_unmasked(q, k, v, block_q, block_k):
 
 
 def _fwd(q, k, v, block_q, block_k):
-    return _flash_forward(q, k, v, block_q, block_k), (q, k, v)
+    out, lse = _flash_forward(q, k, v, block_q, block_k, return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(block_q, block_k, res, g):
-    from omnivggt_tpu.ops.attention import _attention_blockwise
-
-    q, k, v = res
-    _, vjp = jax.vjp(_attention_blockwise, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_backward(q, k, v, o, g, lse, block_q, block_k)
 
 
 _flash_unmasked.defvjp(_fwd, _bwd)

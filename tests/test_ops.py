@@ -340,3 +340,47 @@ def test_attention_kv_valid_masking_all_impls():
     # masked keys/values receive zero gradient
     assert np.abs(np.asarray(g[1][:, NV:])).max() == 0.0
     assert np.abs(np.asarray(g[2][:, NV:])).max() == 0.0
+
+
+def test_flash_fused_backward_ragged_and_lse():
+    """Fused Pallas backward vs XLA autodiff on shapes that force both q and
+    k padding, plus the saved-LSE contract (lse == logsumexp of scaled
+    scores)."""
+    from omnivggt_tpu.ops.pallas import flash_attention as FA
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(17)
+    B, N, H, D = 2, 333, 2, 64  # 333: pads to 384 (bq=64) / 384 (bk=128)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    orig = pl.pallas_call
+    interp = mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+
+    with interp:
+        out, lse = FA._flash_forward(q, k, v, 64, 128, return_lse=True)
+    scores = np.einsum("bqhd,bkhd->bhqk", q, k) * (D**-0.5)
+    lse_ref = np.log(np.exp(scores - scores.max(-1, keepdims=True)).sum(-1)) \
+        + scores.max(-1)
+    np.testing.assert_allclose(
+        np.asarray(lse).reshape(B, H, N), lse_ref, atol=1e-4, rtol=1e-5
+    )
+
+    def loss_flash(q, k, v):
+        return jnp.sum(FA.flash_attention(q, k, v, 64, 128) ** 3)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attention_xla(q, k, v) ** 3)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with interp:
+        g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_ref, g):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3, err_msg=name
+        )
