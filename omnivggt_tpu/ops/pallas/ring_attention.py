@@ -7,13 +7,23 @@ This is the ICI-overlap kernel for the sequence-sharded global-attention stage
 step's compute, so the transfer of the next KV shard rides ICI underneath the
 current block's MXU/VPU work instead of being scheduled by XLA between layers.
 
-Scope: the per-device KV shard must fit the VMEM double buffer
-(N_local <= 16384 at D=64 bf16). The softmax state is VMEM-resident for
-CHUNK_Q query rows at a time; longer shards run the ring once per q chunk
-(more ICI traffic, same exact result). parallel/attention.ring_attention
-remains the any-size fallback. Validated in Pallas TPU interpret mode on the
-8-device CPU mesh (tests/test_ring_kernel.py) — the same code path lowers to
-real RDMA on hardware.
+Two variants, dispatched by `ring_flash_attention` on the per-device shard
+length:
+
+  - VMEM-resident (N_local <= 16384 at D=64 bf16): the KV double buffer lives
+    entirely in VMEM; softmax state is VMEM-resident for CHUNK_Q query rows
+    at a time, so longer shards run the ring once per q chunk.
+  - HBM-staged (N_local <= ~28K): the KV ring double buffer lives in HBM (it
+    was the VMEM cap), block_k tiles are streamed HBM->VMEM double-buffered
+    under the compute, and q + the (m, l, acc) softmax state stay
+    VMEM-resident for the whole shard — so the ring makes exactly ONE
+    rotation regardless of shard length (minimal ICI traffic). This serves
+    the BASELINE 128-view north star: 128*1374/8 = 21,984 tokens/device.
+
+parallel/attention.ring_attention remains the any-size fallback. Both
+validated in Pallas TPU interpret mode on the 8-device CPU mesh
+(tests/test_ring_kernel.py) — the same code path lowers to real RDMA on
+hardware.
 
 Layout per device: q, k, v (BH, N_local, D); grid over BH. Non-causal, so
 ring arrival order is irrelevant to the result.
@@ -35,6 +45,9 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 CHUNK_Q = 2048  # q rows whose softmax state is VMEM-resident per ring pass
 MAX_LOCAL_SEQ = 16384  # VMEM-resident KV double-buffer cap at D=64 bf16
+# HBM-staged variant: q (2-4B/elem), acc (4B), m/l (64B/row) must fit VMEM
+# together (~nl * 450B at D=64 fp32) — 28672 = 56 * 512 keeps headroom
+MAX_LOCAL_SEQ_HBM = 28672
 
 
 def _ring_kernel(
@@ -155,6 +168,254 @@ def _ring_kernel(
         ).astype(o_ref.dtype)
 
 
+def _ring_hbm_kernel(
+    q_hbm,  # (BH, nl_pad, D) ANY/HBM
+    k_hbm,
+    v_hbm,
+    o_hbm,  # (BH, nl_pad, D) ANY/HBM out
+    kv_ring,  # (2, 2, nl_pad, D) HBM ring double buffer: [slot][k|v]
+    q_vmem,  # (nl_pad, D) — whole local q resident
+    kt,  # (2, block_k, D) streamed K tiles
+    vt,  # (2, block_k, D) streamed V tiles
+    o_stage,  # (block_q, D) output staging
+    m_scr,  # (nl_pad, 8) f32
+    l_scr,  # (nl_pad, 8) f32
+    acc_scr,  # (nl_pad, D) f32
+    in_sem,  # DMA (3,)
+    tile_sem,  # DMA (4,): k/v x double buffer
+    out_sem,  # DMA ()
+    send_sem,  # DMA (2,)
+    recv_sem,  # DMA (2,)
+    ready_sem,  # REGULAR
+    *,
+    axis_name: str,
+    n_dev: int,
+    scale: float,
+    nl_valid: int,
+    block_q: int,
+    block_k: int,
+    handshake: bool,
+):
+    b = pl.program_id(0)
+    my = jax.lax.axis_index(axis_name)
+    right = jax.lax.rem(my + 1, n_dev)
+    left = jax.lax.rem(my + n_dev - 1, n_dev)
+
+    nl_pad, D = q_vmem.shape
+    nq = nl_pad // block_q
+    nk = nl_pad // block_k
+
+    cp_q = pltpu.make_async_copy(q_hbm.at[b], q_vmem, in_sem.at[0])
+    cp_k = pltpu.make_async_copy(k_hbm.at[b], kv_ring.at[0, 0], in_sem.at[1])
+    cp_v = pltpu.make_async_copy(v_hbm.at[b], kv_ring.at[0, 1], in_sem.at[2])
+    cp_q.start()
+    cp_k.start()
+    cp_v.start()
+    cp_q.wait()
+    cp_k.wait()
+    cp_v.wait()
+
+    m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def tile_copies(slot, ki, buf):
+        return (
+            pltpu.make_async_copy(
+                kv_ring.at[slot, 0, pl.ds(ki * block_k, block_k)],
+                kt.at[buf],
+                tile_sem.at[buf],
+            ),
+            pltpu.make_async_copy(
+                kv_ring.at[slot, 1, pl.ds(ki * block_k, block_k)],
+                vt.at[buf],
+                tile_sem.at[2 + buf],
+            ),
+        )
+
+    for step in range(n_dev):
+        slot = step % 2
+        nslot = (step + 1) % 2
+        if step + 1 < n_dev:
+            # capacity handshake: bound ring skew so a sender never
+            # overwrites a receive slot still being read (see the VMEM
+            # kernel's comment; interpret mode is deterministic and lacks
+            # remote signals — handshake=False there)
+            if handshake:
+                pltpu.semaphore_signal(
+                    ready_sem, inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+                pltpu.semaphore_wait(ready_sem, 1)
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=kv_ring.at[slot],
+                dst_ref=kv_ring.at[nslot],
+                send_sem=send_sem.at[slot],
+                recv_sem=recv_sem.at[nslot],
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()  # HBM->HBM RDMA rides ICI under this step's compute
+
+        ck, cv = tile_copies(slot, 0, 0)
+        ck.start()
+        cv.start()
+        for ki in range(nk):
+            buf = ki % 2
+            if ki + 1 < nk:
+                nck, ncv = tile_copies(slot, ki + 1, (ki + 1) % 2)
+                nck.start()
+                ncv.start()
+            ck.wait()
+            cv.wait()
+            k_tile = kt[buf]
+            v_tile = vt[buf]
+
+            # zero-padded key rows of every shard live past nl_valid (all
+            # shards are padded identically) — static per-tile condition
+            mask_tile = (ki + 1) * block_k > nl_valid
+
+            def q_body(qi, _):
+                q = q_vmem[pl.ds(qi * block_q, block_q), :].astype(
+                    jnp.float32
+                ) * scale
+                s = jax.lax.dot_general(
+                    q.astype(k_tile.dtype),
+                    k_tile,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (bq, bk)
+                if mask_tile:
+                    key_idx = ki * block_k + jax.lax.broadcasted_iota(
+                        jnp.int32, s.shape, 1
+                    )
+                    s = jnp.where(key_idx < nl_valid, s, _NEG_INF)
+                m_prev = m_scr[pl.ds(qi * block_q, block_q), :1]
+                l_prev = l_scr[pl.ds(qi * block_q, block_q), :1]
+                acc_prev = acc_scr[pl.ds(qi * block_q, block_q), :]
+                m_curr = jnp.max(s, axis=-1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                p = jnp.exp(s - m_next)
+                corr = jnp.exp(m_prev - m_next)
+                l_next = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+                acc_next = acc_prev * corr + jax.lax.dot_general(
+                    p.astype(v_tile.dtype),
+                    v_tile,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                    m_next, (block_q, m_scr.shape[1])
+                )
+                l_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                    l_next, (block_q, l_scr.shape[1])
+                )
+                acc_scr[pl.ds(qi * block_q, block_q), :] = acc_next
+                return ()
+
+            jax.lax.fori_loop(0, nq, q_body, ())
+            if ki + 1 < nk:
+                ck, cv = nck, ncv
+
+        if step + 1 < n_dev:
+            rdma.wait()  # send + recv complete before the slots swap roles
+
+    for qi in range(nq):
+        o_stage[:] = (
+            acc_scr[pl.ds(qi * block_q, block_q), :]
+            / l_scr[pl.ds(qi * block_q, block_q), :1]
+        ).astype(o_stage.dtype)
+        cp = pltpu.make_async_copy(
+            o_stage, o_hbm.at[b, pl.ds(qi * block_q, block_q)], out_sem
+        )
+        cp.start()
+        cp.wait()
+
+
+def ring_flash_attention_hbm(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+    handshake: bool = None,
+) -> jnp.ndarray:
+    """HBM-staged exact ring flash attention: per-device shards up to
+    MAX_LOCAL_SEQ_HBM tokens, any length (padded + masked internally). One
+    ring rotation total."""
+    import math
+
+    B, N, H, D = q.shape
+    n_dev = mesh.shape[seq_axis]
+    nl = N // n_dev
+    lcm = math.lcm(block_q, block_k)
+    nl_pad = -(-nl // lcm) * lcm
+    if nl_pad > MAX_LOCAL_SEQ_HBM:
+        raise ValueError(
+            f"per-device sequence {nl} (padded {nl_pad}) exceeds the "
+            f"HBM-staged cap {MAX_LOCAL_SEQ_HBM}; use "
+            f"parallel.attention.ring_attention instead"
+        )
+    if handshake is None:
+        handshake = not interpret
+    scale = D**-0.5
+    spec = P(None, seq_axis, None, None)
+
+    def per_device(q, k, v):
+        def to_bhnd(x):
+            x = x.transpose(0, 2, 1, 3).reshape(B * H, nl, D)
+            if nl_pad > nl:
+                x = jnp.pad(x, ((0, 0), (0, nl_pad - nl), (0, 0)))
+            return x
+
+        qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+        out = pl.pallas_call(
+            functools.partial(
+                _ring_hbm_kernel,
+                axis_name=seq_axis,
+                n_dev=n_dev,
+                scale=scale,
+                nl_valid=nl,
+                block_q=block_q,
+                block_k=block_k,
+                handshake=handshake,
+            ),
+            grid=(B * H,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((B * H, nl_pad, D), q.dtype),
+            scratch_shapes=[
+                pltpu.ANY((2, 2, nl_pad, D), q.dtype),  # HBM KV ring
+                pltpu.VMEM((nl_pad, D), q.dtype),  # whole local q
+                pltpu.VMEM((2, block_k, D), q.dtype),  # K tiles
+                pltpu.VMEM((2, block_k, D), q.dtype),  # V tiles
+                pltpu.VMEM((block_q, D), q.dtype),  # out staging
+                pltpu.VMEM((nl_pad, 8), jnp.float32),  # m
+                pltpu.VMEM((nl_pad, 8), jnp.float32),  # l
+                pltpu.VMEM((nl_pad, D), jnp.float32),  # acc
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.REGULAR,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=8,
+            ),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out[:, :nl].reshape(B, H, nl, D).transpose(0, 2, 1, 3)
+
+    return shard_map(
+        per_device, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
 def ring_flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -168,15 +429,23 @@ def ring_flash_attention(
     handshake: bool = None,
 ) -> jnp.ndarray:
     """Exact sequence-sharded attention over (B, N, H, D) with N sharded on
-    `seq_axis`; per-device shard length must divide the blocks and fit VMEM
-    (<= MAX_LOCAL_SEQ)."""
+    `seq_axis`. Shards that fit the VMEM double buffer (and divide the
+    blocks) use the VMEM-resident kernel; longer or ragged shards up to
+    MAX_LOCAL_SEQ_HBM use the HBM-staged kernel."""
     B, N, H, D = q.shape
     n_dev = mesh.shape[seq_axis]
     nl = N // n_dev
-    if nl > MAX_LOCAL_SEQ:
-        raise ValueError(
-            f"per-device sequence {nl} exceeds the VMEM-resident cap "
-            f"{MAX_LOCAL_SEQ}; use parallel.attention.ring_attention instead"
+    vmem_ok = (
+        nl <= MAX_LOCAL_SEQ
+        and nl % min(chunk_q, nl) == 0
+        and min(chunk_q, nl) % min(block_q, min(chunk_q, nl)) == 0
+        and nl % min(block_k, nl) == 0
+    )
+    if not vmem_ok:
+        return ring_flash_attention_hbm(
+            q, k, v, mesh, seq_axis,
+            block_q=block_q, block_k=block_k,
+            interpret=interpret, handshake=handshake,
         )
     chunk = min(chunk_q, nl)
     block_q = min(block_q, chunk)

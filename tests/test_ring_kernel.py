@@ -64,6 +64,54 @@ def test_ring_flash_attention_multi_chunk():
 @needs_8dev
 def test_ring_flash_attention_rejects_oversize():
     mesh = _seq_mesh()
-    q = jnp.zeros((1, 8 * 20480, 2, 64), jnp.float32)
-    with pytest.raises(ValueError, match="VMEM-resident cap"):
+    q = jnp.zeros((1, 8 * 40960, 2, 64), jnp.float32)
+    with pytest.raises(ValueError, match="HBM-staged cap"):
         ring_flash_attention(q, q, q, mesh, "seq", interpret=True)
+
+
+@needs_8dev
+def test_ring_hbm_ragged_shard():
+    """Ragged per-device shards (not divisible by any block) dispatch to the
+    HBM-staged kernel, which pads + masks internally; exact vs full attn."""
+    mesh = _seq_mesh()
+    rng = np.random.default_rng(3)
+    B, H, D = 1, 2, 64
+    nl = 300  # pads to 384 with blocks 128 — exercises per-shard key masking
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, 8 * nl, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    out = np.asarray(
+        ring_flash_attention(
+            q, k, v, mesh, "seq", block_q=128, block_k=128, interpret=True
+        )
+    )
+    np.testing.assert_allclose(ref, out, atol=2e-5)
+
+
+@needs_8dev
+@pytest.mark.slow
+def test_ring_hbm_north_star_shape():
+    """The BASELINE config-4 shape the VMEM kernel refused: 128 views on 8
+    chips -> 21,984 tokens/device. Run on a 2-device ring (interpret-mode
+    compute at 8 devices is prohibitive; the per-device shard length — the
+    quantity the cap is about — is the real one). Exact vs the unfused
+    ppermute ring."""
+    from omnivggt_tpu.parallel.attention import ring_attention as ring_unfused
+    from omnivggt_tpu.ops.pallas.ring_attention import MAX_LOCAL_SEQ
+
+    mesh = Mesh(_np.asarray(jax.devices()[:2]), ("seq",))
+    nl = 21984
+    assert nl > MAX_LOCAL_SEQ  # over the round-1 cap
+    rng = np.random.default_rng(4)
+    B, H, D = 1, 1, 64
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, 2 * nl, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    out = np.asarray(
+        ring_flash_attention(q, k, v, mesh, "seq", interpret=True)
+    )
+    ref = np.asarray(ring_unfused(q, k, v, mesh, "seq"))
+    np.testing.assert_allclose(ref, out, atol=2e-5, rtol=1e-5)
