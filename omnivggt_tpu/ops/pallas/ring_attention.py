@@ -50,6 +50,17 @@ MAX_LOCAL_SEQ = 16384  # VMEM-resident KV double-buffer cap at D=64 bf16
 MAX_LOCAL_SEQ_HBM = 28672
 
 
+def _ring_neighbors(axis_name: str, n_dev: int):
+    """Ring-axis coordinates of the right/left neighbours. The kernels'
+    shard_maps are manual over the ring axis ONLY (axis_names={seq_axis}),
+    so a scalar MESH-typed device id is unambiguous even when the model's
+    full mesh has more axes (data, seq) — the data axis stays automatic."""
+    my = jax.lax.axis_index(axis_name)
+    right = jax.lax.rem(my + 1, n_dev)
+    left = jax.lax.rem(my + n_dev - 1, n_dev)
+    return right, left
+
+
 def _ring_kernel(
     q_ref,  # (1, Nl, D) VMEM (current bh slice)
     k_ref,  # (1, Nl, D) VMEM
@@ -70,9 +81,7 @@ def _ring_kernel(
     block_k: int,
     handshake: bool,
 ):
-    my = jax.lax.axis_index(axis_name)
-    right = jax.lax.rem(my + 1, n_dev)
-    left = jax.lax.rem(my + n_dev - 1, n_dev)
+    right, left = _ring_neighbors(axis_name, n_dev)
 
     nl = q_ref.shape[1]
     chunk = m_scr.shape[0]  # q rows whose softmax state is VMEM-resident
@@ -107,7 +116,7 @@ def _ring_kernel(
                 if handshake:
                     pltpu.semaphore_signal(
                         ready_sem, inc=1, device_id=left,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                        device_id_type=pltpu.DeviceIdType.MESH,
                     )
                     pltpu.semaphore_wait(ready_sem, 1)
                 rdma = pltpu.make_async_remote_copy(
@@ -116,7 +125,7 @@ def _ring_kernel(
                     send_sem=send_sem.at[slot],
                     recv_sem=recv_sem.at[nslot],
                     device_id=right,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    device_id_type=pltpu.DeviceIdType.MESH,
                 )
                 rdma.start()
 
@@ -197,9 +206,7 @@ def _ring_hbm_kernel(
     handshake: bool,
 ):
     b = pl.program_id(0)
-    my = jax.lax.axis_index(axis_name)
-    right = jax.lax.rem(my + 1, n_dev)
-    left = jax.lax.rem(my + n_dev - 1, n_dev)
+    right, left = _ring_neighbors(axis_name, n_dev)
 
     nl_pad, D = q_vmem.shape
     nq = nl_pad // block_q
@@ -244,7 +251,7 @@ def _ring_hbm_kernel(
             if handshake:
                 pltpu.semaphore_signal(
                     ready_sem, inc=1, device_id=left,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    device_id_type=pltpu.DeviceIdType.MESH,
                 )
                 pltpu.semaphore_wait(ready_sem, 1)
             rdma = pltpu.make_async_remote_copy(
@@ -253,7 +260,7 @@ def _ring_hbm_kernel(
                 send_sem=send_sem.at[slot],
                 recv_sem=recv_sem.at[nslot],
                 device_id=right,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                device_id_type=pltpu.DeviceIdType.MESH,
             )
             rdma.start()  # HBM->HBM RDMA rides ICI under this step's compute
 
@@ -384,8 +391,8 @@ def ring_flash_attention_hbm(
                 handshake=handshake,
             ),
             grid=(B * H,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B * H, nl_pad, D), q.dtype),
             scratch_shapes=[
                 pltpu.ANY((2, 2, nl_pad, D), q.dtype),  # HBM KV ring
@@ -412,7 +419,7 @@ def ring_flash_attention_hbm(
 
     return shard_map(
         per_device, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False,
+        axis_names=frozenset({seq_axis}), check_vma=False,
     )(q, k, v)
 
 
@@ -501,5 +508,5 @@ def ring_flash_attention(
 
     return shard_map(
         per_device, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_vma=False,
+        axis_names=frozenset({seq_axis}), check_vma=False,
     )(q, k, v)

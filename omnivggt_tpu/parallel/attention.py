@@ -127,6 +127,23 @@ def ring_attention(
     )(q, k, v)
 
 
+def fused_ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """The Pallas RDMA ring kernel (ops/pallas/ring_attention.py), with
+    interpret mode selected automatically off-TPU so the same model code runs
+    on the CPU test mesh."""
+    from omnivggt_tpu.ops.pallas.ring_attention import ring_flash_attention
+
+    return ring_flash_attention(
+        q, k, v, mesh, seq_axis, interpret=jax.default_backend() != "tpu"
+    )
+
+
 def rows_sharded_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

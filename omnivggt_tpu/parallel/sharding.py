@@ -41,12 +41,14 @@ class AttnShard:
             return pattn.allgather_attention(
                 q, k, v, self.mesh, self.axis, impl=impl, kv_valid=kv_valid
             )
-        if self.kind == "ring":
+        if self.kind in ("ring", "ring_fused"):
             if kv_valid is not None:
                 raise NotImplementedError(
                     "valid-prefix masking is not wired into the ring strategy;"
                     " use global_attn='allgather' for bucketed serving"
                 )
+            if self.kind == "ring_fused":
+                return pattn.fused_ring_attention(q, k, v, self.mesh, self.axis)
             return pattn.ring_attention(q, k, v, self.mesh, self.axis)
         raise ValueError(self.kind)
 

@@ -90,9 +90,11 @@ def test_sharded_forward_with_modalities_matches_single_device():
 
 
 @needs_8dev
-@pytest.mark.parametrize("global_attn", ["allgather", "ring"])
+@pytest.mark.parametrize("global_attn", ["allgather", "ring", "ring_fused"])
 def test_sharded_model_forward_matches_single_device(global_attn):
-    """Full tiny-model forward on a (1, 8) mesh == single-device forward."""
+    """Full tiny-model forward on a (1, 8) mesh == single-device forward.
+    ring_fused routes the global-attention stage through the Pallas RDMA ring
+    kernel (interpret mode on this CPU mesh; real RDMA on hardware)."""
     from omnivggt_tpu.config import tiny_test_config
     from omnivggt_tpu.models import omnivggt as M
 
