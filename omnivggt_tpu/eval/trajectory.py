@@ -66,10 +66,9 @@ def ate_rmse(
 ) -> float:
     """Absolute trajectory error: RMSE of translation after Sim(3) (or SE(3))
     alignment. Poses are (N, 4, 4) camera-to-world."""
-    p, g = _positions_from_c2w(pred_c2w), _positions_from_c2w(gt_c2w)
-    s, R, t = umeyama_sim3(p, g, with_scale=correct_scale)
-    aligned = (s * (R @ p.T)).T + t
-    return float(np.sqrt(np.mean(np.sum((aligned - g) ** 2, axis=-1))))
+    aligned = align_sim3(pred_c2w, gt_c2w, correct_scale=correct_scale)
+    err = _positions_from_c2w(aligned) - _positions_from_c2w(gt_c2w)
+    return float(np.sqrt(np.mean(np.sum(err**2, axis=-1))))
 
 
 def rpe(
@@ -103,16 +102,8 @@ def eval_metrics(
     so RPE is computed on the *aligned* prediction here too (rotation RPE is
     invariant to the alignment; translation RPE is not)."""
     aligned = align_sim3(pred_c2w, gt_c2w, correct_scale=True)
-    ate = float(
-        np.sqrt(
-            np.mean(
-                np.sum(
-                    (_positions_from_c2w(aligned) - _positions_from_c2w(gt_c2w)) ** 2,
-                    axis=-1,
-                )
-            )
-        )
-    )
+    err = _positions_from_c2w(aligned) - _positions_from_c2w(gt_c2w)
+    ate = float(np.sqrt(np.mean(np.sum(err**2, axis=-1))))
     rpe_t, rpe_r = rpe(aligned, gt_c2w, delta=1)
     return {"ate_rmse": ate, "rpe_trans_rmse": rpe_t, "rpe_rot_rmse_deg": rpe_r}
 

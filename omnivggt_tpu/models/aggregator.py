@@ -329,9 +329,8 @@ def apply(
     dp_rate = cfg.drop_path_rate if train_rng is not None else 0.0
     if dp_rate > 0.0:
         # 2 residual-dropping blocks per layer pair; keys threaded as scan xs
-        dp_keys = jax.random.split(train_rng, cfg.depth * 2).reshape(
-            cfg.depth, 2, -1
-        )
+        # (shape-tuple split works for both legacy uint32 and typed PRNG keys)
+        dp_keys = jax.random.split(train_rng, (cfg.depth, 2))
     else:
         dp_keys = None  # eval: no rng xs in the scan at all
 

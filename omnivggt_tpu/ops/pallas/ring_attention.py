@@ -264,23 +264,30 @@ def _ring_hbm_kernel(
             )
             rdma.start()  # HBM->HBM RDMA rides ICI under this step's compute
 
-        ck, cv = tile_copies(slot, 0, 0)
-        ck.start()
-        cv.start()
-        for ki in range(nk):
-            buf = ki % 2
-            if ki + 1 < nk:
-                nck, ncv = tile_copies(slot, ki + 1, (ki + 1) % 2)
+        # ragged shards need key masking on tiles past nl_valid; with a
+        # traced tile index the condition is dynamic, so pay the masking
+        # pass on every tile but ONLY when the shard is actually padded
+        ragged = nl_pad > nl_valid
+
+        first_k, first_v = tile_copies(slot, 0, 0)
+        first_k.start()
+        first_v.start()
+
+        def ki_body(ki, _):
+            # double-buffered HBM->VMEM tile streaming with a traced slot
+            buf = jax.lax.rem(ki, 2)
+
+            @pl.when(ki + 1 < nk)
+            def _():
+                nck, ncv = tile_copies(slot, ki + 1, jax.lax.rem(ki + 1, 2))
                 nck.start()
                 ncv.start()
+
+            ck, cv = tile_copies(slot, ki, buf)
             ck.wait()
             cv.wait()
             k_tile = kt[buf]
             v_tile = vt[buf]
-
-            # zero-padded key rows of every shard live past nl_valid (all
-            # shards are padded identically) — static per-tile condition
-            mask_tile = (ki + 1) * block_k > nl_valid
 
             def q_body(qi, _):
                 q = q_vmem[pl.ds(qi * block_q, block_q), :].astype(
@@ -292,7 +299,7 @@ def _ring_hbm_kernel(
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (bq, bk)
-                if mask_tile:
+                if ragged:
                     key_idx = ki * block_k + jax.lax.broadcasted_iota(
                         jnp.int32, s.shape, 1
                     )
@@ -321,8 +328,9 @@ def _ring_hbm_kernel(
                 return ()
 
             jax.lax.fori_loop(0, nq, q_body, ())
-            if ki + 1 < nk:
-                ck, cv = nck, ncv
+            return ()
+
+        jax.lax.fori_loop(0, nk, ki_body, ())
 
         if step + 1 < n_dev:
             rdma.wait()  # send + recv complete before the slots swap roles
@@ -395,7 +403,7 @@ def ring_flash_attention_hbm(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B * H, nl_pad, D), q.dtype),
             scratch_shapes=[
-                pltpu.ANY((2, 2, nl_pad, D), q.dtype),  # HBM KV ring
+                pl.ANY((2, 2, nl_pad, D), q.dtype),  # HBM KV ring
                 pltpu.VMEM((nl_pad, D), q.dtype),  # whole local q
                 pltpu.VMEM((2, block_k, D), q.dtype),  # K tiles
                 pltpu.VMEM((2, block_k, D), q.dtype),  # V tiles

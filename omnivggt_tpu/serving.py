@@ -46,6 +46,17 @@ class InferenceSession:
             model = OmniVGGT(config) if params is None else OmniVGGT(config, params)
         if pad_mode not in ("exact", "bucket"):
             raise ValueError(f"pad_mode must be 'exact' or 'bucket', got {pad_mode}")
+        if (
+            pad_mode == "bucket"
+            and sharding is not None
+            and getattr(sharding, "global_attn", None) in ("ring", "ring_fused")
+        ):
+            raise ValueError(
+                "bucket mode masks padded frames out of attention, which the "
+                "ring strategies do not support; use "
+                "ModelSharding(..., global_attn='allgather') or "
+                "pad_mode='exact'"
+            )
         self.model = model
         self.buckets = tuple(sorted(buckets))
         self.sharding = sharding
@@ -124,17 +135,19 @@ class InferenceSession:
         )
         has_cam = aux is not None and aux.camera_mask is not None
         has_depth = aux is not None and aux.depth_mask is not None
-        key = (Sb, H, W, has_cam, has_depth)
+        # exact-fit requests (pad == 0) run the unmasked executable: no
+        # per-tile masking pass, identical to exact mode. Padded requests run
+        # the masked executable, whose num_valid_frames is a *traced* scalar
+        # so one compilation serves every S < bucket.
+        masked = self.pad_mode == "bucket" and pad > 0
+        key = (Sb, H, W, has_cam, has_depth, masked)
 
         with self._lock:
             if key not in self._jitted:
                 cfg = self.model.config
                 sharding = self.sharding
 
-                if self.pad_mode == "bucket":
-                    # num_valid_frames is a *traced* scalar: one executable
-                    # per bucket serves every S <= bucket, with padded frames
-                    # masked out of all cross-frame attention (exact results)
+                if masked:
                     @jax.jit
                     def fwd(params, images, aux, nv):
                         return M.apply(
@@ -151,7 +164,7 @@ class InferenceSession:
                 self._jitted[key] = fwd
             fwd = self._jitted[key]
 
-        if self.pad_mode == "bucket":
+        if masked:
             preds = fwd(
                 self.model.params, jnp.asarray(imgs), aux, jnp.int32(S)
             )

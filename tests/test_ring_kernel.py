@@ -20,7 +20,9 @@ needs_8dev = pytest.mark.skipif(
 
 
 def _seq_mesh():
-    # RDMA LOGICAL device addressing requires a single-axis mesh
+    # interpret-mode remote DMA supports one manual axis; the kernels are
+    # manual over the seq axis only, so multi-axis meshes also work (see
+    # test_parallel.py::test_sharded_model_forward ring_fused case)
     return Mesh(_np.asarray(jax.devices()[:8]), ("seq",))
 
 

@@ -27,7 +27,7 @@ def test_session_exact_mode_matches_direct_forward(session):
     out = session.infer(imgs3)
     assert out["pose_enc"].shape == (3, 9)
     assert out["depth"].shape == (3, 28, 28, 1)
-    assert (3, 28, 28, False, False) in session._jitted
+    assert (3, 28, 28, False, False, False) in session._jitted
 
     direct = session.model(imgs3)
     np.testing.assert_allclose(
@@ -44,12 +44,15 @@ def test_session_bucketing():
     out = session.infer(imgs3)
     # padded to bucket 4 internally, stripped back to 3 frames
     assert out["pose_enc"].shape == (3, 9)
-    assert list(session._jitted) == [(4, 28, 28, False, False)]
+    assert list(session._jitted) == [(4, 28, 28, False, False, True)]
 
     # a second 4-frame request reuses the compiled bucket
+    # an exact-fit 4-frame request uses the unmasked executable (no
+    # per-tile masking pass) under the same bucket
     out4 = session.infer(rng.uniform(size=(4, 28, 28, 3)).astype(np.float32))
     assert out4["pose_enc"].shape == (4, 9)
-    assert len(session._jitted) == 1
+    assert (4, 28, 28, False, False, False) in session._jitted
+    assert len(session._jitted) == 2
 
 
 def test_session_with_aux(session):
@@ -123,7 +126,7 @@ def test_bucketed_equals_exact():
 
     out_b = bucketed.infer(imgs)
     out_e = exact.infer(imgs)
-    assert list(bucketed._jitted) == [(4, 28, 28, False, False)]
+    assert list(bucketed._jitted) == [(4, 28, 28, False, False, True)]
     for k in out_e:
         assert out_b[k].shape == out_e[k].shape, k
         np.testing.assert_allclose(
@@ -145,3 +148,22 @@ def test_bucketed_equals_exact():
         np.testing.assert_allclose(
             out_b[k], out_e[k], atol=2e-5, rtol=1e-5, err_msg=k
         )
+
+
+def test_bucket_mode_rejects_ring_sharding():
+    """Ring strategies cannot mask padded frames; bucket mode must refuse them
+    at construction instead of crashing at trace time."""
+    import jax
+
+    from omnivggt_tpu.parallel.mesh import make_mesh
+    from omnivggt_tpu.parallel.sharding import ModelSharding
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    sharding = ModelSharding(make_mesh(data=1, seq=8), global_attn="ring")
+    with pytest.raises(ValueError, match="ring"):
+        InferenceSession(OmniVGGT(tiny_test_config()), sharding=sharding)
+    # exact mode with ring sharding stays allowed
+    InferenceSession(
+        OmniVGGT(tiny_test_config()), sharding=sharding, pad_mode="exact"
+    )

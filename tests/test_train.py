@@ -198,6 +198,11 @@ def test_train_step_with_drop_path():
     ev1 = M.apply(params, batch["images"], cfg)
     ev2 = M.apply(params, batch["images"], cfg)
     np.testing.assert_array_equal(np.asarray(r1["depth"]), np.asarray(r1b["depth"]))
+    # new-style typed PRNG keys must work too (same impl/seed -> same stream)
+    r_typed = M.apply(params, batch["images"], cfg, train_rng=jax.random.key(1))
+    np.testing.assert_array_equal(
+        np.asarray(r_typed["depth"]), np.asarray(r1["depth"])
+    )
     np.testing.assert_array_equal(np.asarray(ev1["depth"]), np.asarray(ev2["depth"]))
     assert not np.array_equal(np.asarray(r1["depth"]), np.asarray(r2["depth"]))
     assert not np.array_equal(np.asarray(r1["depth"]), np.asarray(ev1["depth"]))
