@@ -30,8 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_Q = 768  # 896 puts the fp32 score tile ~0.4 MB over the 16 MB
+DEFAULT_BLOCK_K = 2048  # scoped-VMEM limit once the surrounding model is live
+# the backward kernels keep two (block_q, block_k) fp32 score tiles (p and ds)
+# live at once, so they run at smaller blocks than the forward
+DEFAULT_BWD_BLOCK_Q = 512
+DEFAULT_BWD_BLOCK_K = 1024
 _LANES = 128
 # Finite "minus infinity": true -inf scores make the VPU hit special-value
 # slow paths (measured ~40x slowdown on v5e); -1e30 underflows exp to 0 at
@@ -40,7 +44,8 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    *refs, scale, n_keys, block_k, dynamic_valid, return_lse=False
+    *refs, scale, n_keys, block_k, dynamic_valid, fold_sum, head_dim,
+    return_lse=False
 ):
     if dynamic_valid:
         # kv_valid: (1, 1) int32 in SMEM — number of valid (unmasked) keys
@@ -74,32 +79,59 @@ def _flash_kernel(
         preferred_element_type=jnp.float32,
     )  # (bq, bk)
 
-    # mask invalid keys. Static case: only the final block can contain
-    # (zero-)padding, and only when n_keys is not a multiple of block_k.
-    # Dynamic case (kv_valid given): the valid-key count is a runtime scalar,
-    # so every block masks against it (one extra VPU pass over the score tile).
+    def body(s):
+        """One streaming-softmax update from the (bq, bk) score tile s."""
+        m_prev = m_scr[:, :1]  # (bq, 1)
+        l_prev = l_scr[:, :1]
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp(s - m_next)
+        corr = jnp.exp(m_prev - m_next)
+        if fold_sum:
+            # v carries a ones-column at lane `head_dim` (caller packs it to
+            # the 128-lane tile D=64 would waste on the MXU anyway), so one
+            # matmul yields both the weighted values and the row sums —
+            # saving the cross-lane VPU reduction pass over the score tile
+            both = jax.lax.dot_general(
+                p.astype(v_ref.dtype),
+                v_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, 128): [:head_dim] = p @ v, [head_dim] = rowsum(p)
+            l_next = l_prev * corr + both[:, head_dim:head_dim + 1]
+            acc_scr[:] = acc_scr[:] * corr + both[:, :head_dim]
+        else:
+            l_next = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+                p.astype(v_ref.dtype),
+                v_ref[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    # mask invalid keys. Static case: only the FINAL block can contain
+    # (zero-)padding, and only when n_keys is not a multiple of block_k —
+    # branching on the block index keeps the iota/compare/select pass off
+    # every other block. Dynamic case (kv_valid given): the valid-key count
+    # is a runtime scalar, so every block masks against it.
     if dynamic_valid:
         key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_idx < nv_ref[0, 0], s, _NEG_INF)
+        body(jnp.where(key_idx < nv_ref[0, 0], s, _NEG_INF))
     elif n_keys % block_k != 0:
-        key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(key_idx < n_keys, s, _NEG_INF)
+        @pl.when(ki == nk - 1)
+        def _():
+            key_idx = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 1
+            )
+            body(jnp.where(key_idx < n_keys, s, _NEG_INF))
 
-    m_prev = m_scr[:, :1]  # (bq, 1)
-    l_prev = l_scr[:, :1]
-    m_curr = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_curr)
-    p = jnp.exp(s - m_next)
-    corr = jnp.exp(m_prev - m_next)
-    l_next = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-        p.astype(v_ref.dtype),
-        v_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_scr[:] = jnp.broadcast_to(m_next, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_next, l_scr.shape)
+        @pl.when(ki != nk - 1)
+        def _():
+            body(s)
+    else:
+        body(s)
 
     @pl.when(ki == nk - 1)
     def _():
@@ -133,13 +165,25 @@ def _flash_forward(q, k, v, block_q, block_k, kv_valid=None, return_lse=False):
         kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
 
+    # fold the softmax row sum into the p @ v matmul: pad v to the 128-lane
+    # MXU tile (free for D=64 — the matmul occupies the full lane tile either
+    # way) with a ones-column at lane D. Padded/masked keys have p == 0 and
+    # contribute nothing to the folded sum. Only worth it while the packing
+    # stays within one lane tile.
+    fold_sum = D < _LANES
+    Dv = D
+    if fold_sum:
+        Dv = _LANES
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, Dv - D)))
+        vf = vf.at[:, :, D].set(1.0)
+
     grid = (B * H, qf.shape[1] // block_q, kf.shape[1] // block_k)
     dynamic_valid = kv_valid is not None
 
     in_specs = [
         pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
         pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-        pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+        pl.BlockSpec((1, block_k, Dv), lambda b, qi, ki: (b, ki, 0)),
     ]
     inputs = [qf, kf, vf]
     if dynamic_valid:
@@ -166,7 +210,8 @@ def _flash_forward(q, k, v, block_q, block_k, kv_valid=None, return_lse=False):
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, n_keys=Nk, block_k=block_k,
-            dynamic_valid=dynamic_valid, return_lse=return_lse,
+            dynamic_valid=dynamic_valid, fold_sum=fold_sum, head_dim=D,
+            return_lse=return_lse,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -336,8 +381,10 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k):
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
     dof, of = to_bhnd(do), to_bhnd(o)
 
-    block_q = _pick_block(N, block_q, 8)
-    block_k = _pick_block(Nk, block_k, 128)
+    # two (block_q, block_k) fp32 score tiles (p, ds) are live per step here,
+    # so cap the backward blocks below the forward's VMEM-sized defaults
+    block_q = _pick_block(N, min(block_q, DEFAULT_BWD_BLOCK_Q), 8)
+    block_k = _pick_block(Nk, min(block_k, DEFAULT_BWD_BLOCK_K), 128)
     pad_q = (-N) % block_q
     pad_k = (-Nk) % block_k
     if pad_q:
