@@ -109,19 +109,24 @@ def _attention_blockwise(q, k, v, block_k: int = _BLOCK_K, kv_valid=None):
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("impl",))
+@functools.partial(jax.jit, static_argnames=("impl", "bounded_logits"))
 def scaled_dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     impl: str = "auto",
     kv_valid=None,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention over (B, N, H, D) tensors.
 
     kv_valid: optional traced int32 scalar — keys at positions >= kv_valid are
     masked out of the softmax (valid-prefix masking; used to make padded
-    frames exact no-ops in bucketed serving)."""
+    frames exact no-ops in bucketed serving).
+
+    bounded_logits: caller-guaranteed |scores| << 80 (qk-normed inputs); lets
+    the flash kernel skip its running-max pass. Ignored by the xla/blockwise
+    implementations (their softmax is already fused by XLA)."""
     N = q.shape[1]
     if impl == "auto":
         rows = q.shape[0] * q.shape[2]
@@ -144,5 +149,7 @@ def scaled_dot_product_attention(
     if impl == "flash":
         from omnivggt_tpu.ops.pallas.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, kv_valid=kv_valid)
+        return flash_attention(
+            q, k, v, kv_valid=kv_valid, bounded_logits=bounded_logits
+        )
     raise ValueError(f"unknown attention impl: {impl}")

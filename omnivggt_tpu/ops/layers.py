@@ -173,11 +173,17 @@ def attention(
         q = apply_rope(q, rope_cos, rope_sin)
         k = apply_rope(k, rope_cos, rope_sin)
 
+    # qk-norm bounds the scaled scores by sqrt(D)*(max|g_q|+max|b_q|)*
+    # (max|g_k|+max|b_k|) — far below exp's fp32 overflow — letting the flash
+    # kernel run its softmax at a fixed max (skips a pass per score tile)
+    bounded = "q_norm" in p
     if shard is not None:
-        o = shard.attend(q, k, v, impl, kv_valid=kv_valid)
+        o = shard.attend(
+            q, k, v, impl, kv_valid=kv_valid, bounded_logits=bounded
+        )
     else:
         o = scaled_dot_product_attention(
-            q, k, v, impl=impl, kv_valid=kv_valid
+            q, k, v, impl=impl, kv_valid=kv_valid, bounded_logits=bounded
         )  # (B, N, H, D)
     o = o.reshape(B, N, C)
     return linear(p["proj"], o)

@@ -41,11 +41,15 @@ _LANES = 128
 # slow paths (measured ~40x slowdown on v5e); -1e30 underflows exp to 0 at
 # full speed and is far below any real logit.
 _NEG_INF = -1e30
+# bounded mode's insurance clamp: exp(80) = 5.5e34 stays finite in fp32 AND
+# bf16 (both have 8-bit exponents); real qk-normed scores are bounded well
+# below this, so the clamp never binds on sane weights
+_BOUNDED_CLAMP = 80.0
 
 
 def _flash_kernel(
     *refs, scale, n_keys, block_k, dynamic_valid, fold_sum, head_dim,
-    return_lse=False
+    bounded, return_lse=False
 ):
     if dynamic_valid:
         # kv_valid: (1, 1) int32 in SMEM — number of valid (unmasked) keys
@@ -54,16 +58,22 @@ def _flash_kernel(
         q_ref, k_ref, v_ref, *refs = refs
         nv_ref = None
     if return_lse:
-        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        o_ref, lse_ref, *scr = refs
     else:
-        o_ref, m_scr, l_scr, acc_scr = refs
+        o_ref, *scr = refs
         lse_ref = None
+    # bounded mode (caller guarantees |scores| << 88, e.g. qk-normed inputs):
+    # softmax runs at a fixed max of 0 — no running-max scratch, no max
+    # reduction pass over the score tile, no accumulator rescales
+    m_scr = None if bounded else scr[0]
+    l_scr, acc_scr = scr[-2], scr[-1]
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(ki == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        if m_scr is not None:
+            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -81,6 +91,29 @@ def _flash_kernel(
 
     def body(s):
         """One streaming-softmax update from the (bq, bk) score tile s."""
+        if bounded:
+            # the min() clamp fuses into the exp pass (one elementwise chain
+            # over the tile) and is pure insurance: the caller's bound keeps
+            # real scores far below it (see flash_attention docstring)
+            p = jnp.exp(jnp.minimum(s, _BOUNDED_CLAMP))
+            if fold_sum:
+                both = jax.lax.dot_general(
+                    p.astype(v_ref.dtype),
+                    v_ref[0],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                l_scr[:, :1] += both[:, head_dim:head_dim + 1]
+                acc_scr[:] += both[:, :head_dim]
+            else:
+                l_scr[:, :1] += jnp.sum(p, axis=-1, keepdims=True)
+                acc_scr[:] += jax.lax.dot_general(
+                    p.astype(v_ref.dtype),
+                    v_ref[0],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return
         m_prev = m_scr[:, :1]  # (bq, 1)
         l_prev = l_scr[:, :1]
         m_curr = jnp.max(s, axis=-1, keepdims=True)
@@ -139,12 +172,18 @@ def _flash_kernel(
         if return_lse:
             # sublane-oriented per-row stats; stored (bq, 8) — the minimal
             # legal trailing tile — so the backward reads them back with no
-            # sublane<->lane relayout
-            lse = m_scr[:, :1] + jnp.log(l_scr[:, :1])
+            # sublane<->lane relayout. In bounded mode the running max is
+            # identically 0, so lse = log(l) — same contract downstream.
+            lse = jnp.log(l_scr[:, :1])
+            if m_scr is not None:
+                lse = m_scr[:, :1] + lse
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_forward(q, k, v, block_q, block_k, kv_valid=None, return_lse=False):
+def _flash_forward(
+    q, k, v, block_q, block_k, kv_valid=None, return_lse=False,
+    bounded=False,
+):
     B, N, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5
@@ -207,21 +246,24 @@ def _flash_forward(q, k, v, block_q, block_k, kv_valid=None, return_lse=False):
             jax.ShapeDtypeStruct((B * H, qf.shape[1], 8), jnp.float32),
         )
 
+    scratch_shapes = [
+        pltpu.VMEM((block_q, _LANES), jnp.float32),  # l (and m when not bounded)
+        pltpu.VMEM((block_q, D), jnp.float32),  # acc
+    ]
+    if not bounded:
+        scratch_shapes.insert(0, pltpu.VMEM((block_q, _LANES), jnp.float32))
+
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, n_keys=Nk, block_k=block_k,
             dynamic_valid=dynamic_valid, fold_sum=fold_sum, head_dim=D,
-            return_lse=return_lse,
+            bounded=bounded, return_lse=return_lse,
         ),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -454,28 +496,45 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k):
 
 
 def flash_attention(
-    q, k, v, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, kv_valid=None
+    q, k, v, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, kv_valid=None,
+    bounded_logits=False,
 ):
     """Non-causal flash attention over (B, N, H, D) tensors; differentiable.
 
     kv_valid: optional traced int32 scalar — keys >= kv_valid are masked
-    (valid-prefix masking for bucketed serving)."""
+    (valid-prefix masking for bucketed serving).
+
+    bounded_logits: set True ONLY when the caller can guarantee the scaled
+    scores stay far below ~80 — e.g. q and k per-head-dim LayerNormed
+    (qk-norm), where |q.k|/sqrt(D) <= sqrt(D) * (max|g_q|+max|b_q|) *
+    (max|g_k|+max|b_k|) ~ 8 for D=64 and unit-scale norm weights. The
+    softmax then runs at a fixed max of 0, skipping the running-max
+    reduction pass over every score tile (~14% kernel time at the global-
+    attention shape). An in-kernel clamp at 80 (fused into the exp pass)
+    makes pathological weights saturate instead of overflowing."""
     if kv_valid is None:
-        return _flash_unmasked(q, k, v, block_q, block_k)
-    return _flash_masked(q, k, v, jnp.asarray(kv_valid, jnp.int32), block_q, block_k)
+        return _flash_unmasked(q, k, v, block_q, block_k, bounded_logits)
+    return _flash_masked(
+        q, k, v, jnp.asarray(kv_valid, jnp.int32), block_q, block_k,
+        bounded_logits,
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_unmasked(q, k, v, block_q, block_k):
-    return _flash_forward(q, k, v, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_unmasked(q, k, v, block_q, block_k, bounded):
+    return _flash_forward(q, k, v, block_q, block_k, bounded=bounded)
 
 
-def _fwd(q, k, v, block_q, block_k):
-    out, lse = _flash_forward(q, k, v, block_q, block_k, return_lse=True)
+def _fwd(q, k, v, block_q, block_k, bounded):
+    out, lse = _flash_forward(
+        q, k, v, block_q, block_k, return_lse=True, bounded=bounded
+    )
     return out, (q, k, v, out, lse)
 
 
-def _bwd(block_q, block_k, res, g):
+def _bwd(block_q, block_k, bounded, res, g):
+    # the backward rebuilds p = exp(s - lse) from the saved LSE, which is
+    # max-convention-agnostic — bounded forward needs no backward changes
     q, k, v, o, lse = res
     return _flash_backward(q, k, v, o, g, lse, block_q, block_k)
 
@@ -483,17 +542,21 @@ def _bwd(block_q, block_k, res, g):
 _flash_unmasked.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_masked(q, k, v, kv_valid, block_q, block_k):
-    return _flash_forward(q, k, v, block_q, block_k, kv_valid=kv_valid)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_masked(q, k, v, kv_valid, block_q, block_k, bounded):
+    return _flash_forward(
+        q, k, v, block_q, block_k, kv_valid=kv_valid, bounded=bounded
+    )
 
 
-def _masked_fwd(q, k, v, kv_valid, block_q, block_k):
-    out = _flash_forward(q, k, v, block_q, block_k, kv_valid=kv_valid)
+def _masked_fwd(q, k, v, kv_valid, block_q, block_k, bounded):
+    out = _flash_forward(
+        q, k, v, block_q, block_k, kv_valid=kv_valid, bounded=bounded
+    )
     return out, (q, k, v, kv_valid)
 
 
-def _masked_bwd(block_q, block_k, res, g):
+def _masked_bwd(block_q, block_k, bounded, res, g):
     import numpy as _np
 
     from omnivggt_tpu.ops.attention import _attention_blockwise

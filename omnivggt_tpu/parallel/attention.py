@@ -44,6 +44,7 @@ def allgather_attention(
     seq_axis: str = "seq",
     impl: str = "auto",
     kv_valid=None,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Sequence-sharded attention with all-gathered KV. kv_valid masks keys
     >= kv_valid of the *global* (gathered) sequence — the tiled all_gather
@@ -55,7 +56,9 @@ def allgather_attention(
         def inner(q, k, v):
             k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
             v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
-            return scaled_dot_product_attention(q, k_full, v_full, impl=impl)
+            return scaled_dot_product_attention(
+                q, k_full, v_full, impl=impl, bounded_logits=bounded_logits
+            )
 
         return shard_map(
             inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
@@ -66,7 +69,8 @@ def allgather_attention(
         k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
         return scaled_dot_product_attention(
-            q, k_full, v_full, impl=impl, kv_valid=nv[0]
+            q, k_full, v_full, impl=impl, kv_valid=nv[0],
+            bounded_logits=bounded_logits,
         )
 
     nv = jnp.asarray(kv_valid, jnp.int32).reshape(1)
@@ -151,6 +155,7 @@ def rows_sharded_attention(
     mesh: Mesh,
     rows_spec: P,
     impl: str = "auto",
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Embarrassingly-parallel attention with the batch/rows dim sharded
     (frame attention: each frame attends within itself, no communication).
@@ -158,7 +163,9 @@ def rows_sharded_attention(
     spec = P(rows_spec, None, None, None) if isinstance(rows_spec, (str, tuple)) else rows_spec
 
     def inner(q, k, v):
-        return scaled_dot_product_attention(q, k, v, impl=impl)
+        return scaled_dot_product_attention(
+            q, k, v, impl=impl, bounded_logits=bounded_logits
+        )
 
     return shard_map(
         inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

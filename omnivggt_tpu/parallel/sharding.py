@@ -27,7 +27,7 @@ class AttnShard:
     kind: str  # "rows" | "allgather" | "ring"
     axis: object = (DATA_AXIS, SEQ_AXIS)  # rows spec or seq axis name
 
-    def attend(self, q, k, v, impl, kv_valid=None):
+    def attend(self, q, k, v, impl, kv_valid=None, bounded_logits=False):
         if self.kind == "rows":
             if kv_valid is not None:
                 raise ValueError(
@@ -35,11 +35,13 @@ class AttnShard:
                     "attention"
                 )
             return pattn.rows_sharded_attention(
-                q, k, v, self.mesh, self.axis, impl=impl
+                q, k, v, self.mesh, self.axis, impl=impl,
+                bounded_logits=bounded_logits,
             )
         if self.kind == "allgather":
             return pattn.allgather_attention(
-                q, k, v, self.mesh, self.axis, impl=impl, kv_valid=kv_valid
+                q, k, v, self.mesh, self.axis, impl=impl, kv_valid=kv_valid,
+                bounded_logits=bounded_logits,
             )
         if self.kind in ("ring", "ring_fused"):
             if kv_valid is not None:

@@ -89,6 +89,66 @@ def test_flash_attention_interpret_mode():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_flash_attention_bounded_logits():
+    """Bounded mode (softmax at a fixed max of 0, no running-max pass)
+    matches the standard kernel and XLA on qk-norm-scale inputs, on a ragged
+    shape, and through the gradient."""
+    from omnivggt_tpu.ops.pallas import flash_attention as FA
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(7)
+    # unit-scale inputs, like qk-normed q/k: scores well within the bound
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 203, 2, 64)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        out = np.asarray(FA._flash_forward(q, k, v, 64, 128, bounded=True))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+        # lse contract: bounded forward's lse feeds the same fused backward
+        out_l, lse = FA._flash_forward(
+            q, k, v, 64, 128, return_lse=True, bounded=True
+        )
+        _, lse_std = FA._flash_forward(
+            q, k, v, 64, 128, return_lse=True, bounded=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(lse_std), atol=1e-5, rtol=1e-5
+        )
+
+        def loss(q, k, v):
+            return jnp.sum(
+                FA.flash_attention(q, k, v, 64, 128, bounded_logits=True) ** 2
+            )
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_attention_xla(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+        )
+
+    # the insurance clamp saturates instead of overflowing on absurd scores
+    qb = q * 40.0
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        out_big = np.asarray(FA._flash_forward(qb, k, v, 64, 128, bounded=True))
+    assert np.isfinite(out_big).all()
+
+
 def test_flash_attention_gradient():
     """The custom VJP (blockwise recompute) matches the gradient of the plain
     XLA attention."""
