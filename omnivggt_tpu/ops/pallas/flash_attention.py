@@ -208,13 +208,16 @@ def _flash_forward(
     # MXU tile (free for D=64 — the matmul occupies the full lane tile either
     # way) with a ones-column at lane D. Padded/masked keys have p == 0 and
     # contribute nothing to the folded sum. Only worth it while the packing
-    # stays within one lane tile.
+    # stays within one lane tile. Built as ONE concatenate so XLA emits a
+    # single fused write (pad + .at[].set costs an extra full pass over v).
     fold_sum = D < _LANES
     Dv = D
     if fold_sum:
         Dv = _LANES
-        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, Dv - D)))
-        vf = vf.at[:, :, D].set(1.0)
+        tail = jnp.zeros((Dv - D,), vf.dtype).at[0].set(1.0)
+        vf = jnp.concatenate(
+            [vf, jnp.broadcast_to(tail, (*vf.shape[:2], Dv - D))], axis=-1
+        )
 
     grid = (B * H, qf.shape[1] // block_q, kf.shape[1] // block_k)
     dynamic_valid = kv_valid is not None

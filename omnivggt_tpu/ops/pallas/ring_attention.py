@@ -41,6 +41,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 _NEG_INF = -1e30
+# bounded-logits insurance clamp (see ops/pallas/flash_attention.py)
+_BOUNDED_CLAMP = 80.0
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 CHUNK_Q = 2048  # q rows whose softmax state is VMEM-resident per ring pass
@@ -80,11 +82,12 @@ def _ring_kernel(
     block_q: int,
     block_k: int,
     handshake: bool,
+    bounded: bool = False,
 ):
     right, left = _ring_neighbors(axis_name, n_dev)
 
     nl = q_ref.shape[1]
-    chunk = m_scr.shape[0]  # q rows whose softmax state is VMEM-resident
+    chunk = l_scr.shape[0]  # q rows whose softmax state is VMEM-resident
     n_chunks = nl // chunk
     nq = chunk // block_q
     nk = nl // block_k
@@ -96,7 +99,8 @@ def _ring_kernel(
         q_base = ci * chunk
         kv_buf[0, 0] = k_ref[0]
         kv_buf[0, 1] = v_ref[0]
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        if not bounded:
+            m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -134,18 +138,20 @@ def _ring_kernel(
                     0, pl.ds(q_base + qi * block_q, block_q), :
                 ].astype(jnp.float32) * scale
                 q = q.astype(k_ref.dtype)
-                m = m_scr[pl.ds(qi * block_q, block_q), :1]
                 l = l_scr[pl.ds(qi * block_q, block_q), :1]
                 acc = acc_scr[pl.ds(qi * block_q, block_q), :]
 
-                def k_tile_body(ki, carry):
-                    m, l, acc = carry
+                def score(ki):
                     k = kv_buf[slot, 0, pl.ds(ki * block_k, block_k), :]
-                    v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
-                    s = jax.lax.dot_general(
+                    return jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+
+                def k_tile_body(ki, carry):
+                    m, l, acc = carry
+                    s = score(ki)
+                    v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
                     m_curr = jnp.max(s, axis=-1, keepdims=True)
                     m_new = jnp.maximum(m, m_curr)
                     p = jnp.exp(s - m_new)
@@ -157,10 +163,31 @@ def _ring_kernel(
                     )
                     return m_new, l_new, acc_new
 
-                m, l, acc = jax.lax.fori_loop(0, nk, k_tile_body, (m, l, acc))
-                m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
-                    m, (block_q, m_scr.shape[1])
-                )
+                def k_tile_body_bounded(ki, carry):
+                    # softmax at a fixed max of 0 (clamp = overflow insurance)
+                    l, acc = carry
+                    s = score(ki)
+                    v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
+                    p = jnp.exp(jnp.minimum(s, _BOUNDED_CLAMP))
+                    l_new = l + jnp.sum(p, axis=-1, keepdims=True)
+                    acc_new = acc + jax.lax.dot_general(
+                        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return l_new, acc_new
+
+                if bounded:
+                    l, acc = jax.lax.fori_loop(
+                        0, nk, k_tile_body_bounded, (l, acc)
+                    )
+                else:
+                    m = m_scr[pl.ds(qi * block_q, block_q), :1]
+                    m, l, acc = jax.lax.fori_loop(
+                        0, nk, k_tile_body, (m, l, acc)
+                    )
+                    m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                        m, (block_q, m_scr.shape[1])
+                    )
                 l_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
                     l, (block_q, l_scr.shape[1])
                 )
@@ -204,6 +231,7 @@ def _ring_hbm_kernel(
     block_q: int,
     block_k: int,
     handshake: bool,
+    bounded: bool = False,
 ):
     b = pl.program_id(0)
     right, left = _ring_neighbors(axis_name, n_dev)
@@ -222,7 +250,8 @@ def _ring_hbm_kernel(
     cp_k.wait()
     cp_v.wait()
 
-    m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+    if not bounded:
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -304,23 +333,34 @@ def _ring_hbm_kernel(
                         jnp.int32, s.shape, 1
                     )
                     s = jnp.where(key_idx < nl_valid, s, _NEG_INF)
-                m_prev = m_scr[pl.ds(qi * block_q, block_q), :1]
                 l_prev = l_scr[pl.ds(qi * block_q, block_q), :1]
                 acc_prev = acc_scr[pl.ds(qi * block_q, block_q), :]
-                m_curr = jnp.max(s, axis=-1, keepdims=True)
-                m_next = jnp.maximum(m_prev, m_curr)
-                p = jnp.exp(s - m_next)
-                corr = jnp.exp(m_prev - m_next)
-                l_next = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
-                acc_next = acc_prev * corr + jax.lax.dot_general(
-                    p.astype(v_tile.dtype),
-                    v_tile,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
-                    m_next, (block_q, m_scr.shape[1])
-                )
+                if bounded:
+                    # fixed-max softmax (clamp = overflow insurance)
+                    p = jnp.exp(jnp.minimum(s, _BOUNDED_CLAMP))
+                    l_next = l_prev + jnp.sum(p, axis=-1, keepdims=True)
+                    acc_next = acc_prev + jax.lax.dot_general(
+                        p.astype(v_tile.dtype),
+                        v_tile,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    m_prev = m_scr[pl.ds(qi * block_q, block_q), :1]
+                    m_curr = jnp.max(s, axis=-1, keepdims=True)
+                    m_next = jnp.maximum(m_prev, m_curr)
+                    p = jnp.exp(s - m_next)
+                    corr = jnp.exp(m_prev - m_next)
+                    l_next = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+                    acc_next = acc_prev * corr + jax.lax.dot_general(
+                        p.astype(v_tile.dtype),
+                        v_tile,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    m_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
+                        m_next, (block_q, m_scr.shape[1])
+                    )
                 l_scr[pl.ds(qi * block_q, block_q), :] = jnp.broadcast_to(
                     l_next, (block_q, l_scr.shape[1])
                 )
@@ -357,6 +397,7 @@ def ring_flash_attention_hbm(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
     handshake: bool = None,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """HBM-staged exact ring flash attention: per-device shards up to
     MAX_LOCAL_SEQ_HBM tokens, any length (padded + masked internally). One
@@ -397,6 +438,7 @@ def ring_flash_attention_hbm(
                 block_q=block_q,
                 block_k=block_k,
                 handshake=handshake,
+                bounded=bounded_logits,
             ),
             grid=(B * H,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
@@ -442,11 +484,17 @@ def ring_flash_attention(
     chunk_q: int = CHUNK_Q,
     interpret: bool = False,
     handshake: bool = None,
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Exact sequence-sharded attention over (B, N, H, D) with N sharded on
     `seq_axis`. Shards that fit the VMEM double buffer (and divide the
     blocks) use the VMEM-resident kernel; longer or ragged shards up to
-    MAX_LOCAL_SEQ_HBM use the HBM-staged kernel."""
+    MAX_LOCAL_SEQ_HBM use the HBM-staged kernel.
+
+    bounded_logits: caller-guaranteed |scores| << 80 (qk-normed inputs);
+    skips the running-max machinery (see flash_attention's docstring). The
+    ones-column row-sum fold used there is NOT applied here: it would pad
+    the rotating v shard to 128 lanes and double the ICI ring traffic."""
     B, N, H, D = q.shape
     n_dev = mesh.shape[seq_axis]
     nl = N // n_dev
@@ -461,6 +509,7 @@ def ring_flash_attention(
             q, k, v, mesh, seq_axis,
             block_q=block_q, block_k=block_k,
             interpret=interpret, handshake=handshake,
+            bounded_logits=bounded_logits,
         )
     chunk = min(chunk_q, nl)
     block_q = min(block_q, chunk)
@@ -489,6 +538,7 @@ def ring_flash_attention(
                 block_q=block_q,
                 block_k=block_k,
                 handshake=handshake,
+                bounded=bounded_logits,
             ),
             grid=(B * H,),
             in_specs=[

@@ -89,9 +89,14 @@ def ring_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     seq_axis: str = "seq",
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """Sequence-sharded ring attention: KV rotates, each device keeps a
-    streaming-softmax (max, denom, acc) carry. Exact."""
+    streaming-softmax (max, denom, acc) carry. Exact.
+
+    bounded_logits (caller-guaranteed |scores| << 80, e.g. qk-normed inputs):
+    the softmax runs at a fixed max of 0, dropping the running-max carry and
+    its rescale passes."""
     spec = _qkv_spec(seq_axis)
 
     def inner(q, k, v):
@@ -100,6 +105,12 @@ def ring_attention(
         scale = D**-0.5
         qf = q.astype(jnp.float32) * scale
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def rotate(k_cur, v_cur):
+            return (
+                jax.lax.ppermute(k_cur, seq_axis, perm),
+                jax.lax.ppermute(v_cur, seq_axis, perm),
+            )
 
         def step(carry, _):
             m_prev, d_prev, acc_prev, k_cur, v_cur = carry
@@ -112,16 +123,31 @@ def ring_attention(
             acc_new = acc_prev * corr[..., None] + jnp.einsum(
                 "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
             )
-            k_nxt = jax.lax.ppermute(k_cur, seq_axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, seq_axis, perm)
+            k_nxt, v_nxt = rotate(k_cur, v_cur)
             return (m_new, d_new, acc_new, k_nxt, v_nxt), None
 
-        m0 = jnp.full((B, H, Nq), -jnp.inf, jnp.float32)
+        def step_bounded(carry, _):
+            d_prev, acc_prev, k_cur, v_cur = carry
+            s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_cur.astype(jnp.float32))
+            p = jnp.exp(jnp.minimum(s, 80.0))
+            d_new = d_prev + jnp.sum(p, axis=-1)
+            acc_new = acc_prev + jnp.einsum(
+                "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
+            )
+            k_nxt, v_nxt = rotate(k_cur, v_cur)
+            return (d_new, acc_new, k_nxt, v_nxt), None
+
         d0 = jnp.zeros((B, H, Nq), jnp.float32)
         acc0 = jnp.zeros((B, H, Nq, D), jnp.float32)
-        (m, d, acc, _, _), _ = jax.lax.scan(
-            step, (m0, d0, acc0, k, v), None, length=n_dev
-        )
+        if bounded_logits:
+            (d, acc, _, _), _ = jax.lax.scan(
+                step_bounded, (d0, acc0, k, v), None, length=n_dev
+            )
+        else:
+            m0 = jnp.full((B, H, Nq), -jnp.inf, jnp.float32)
+            (m, d, acc, _, _), _ = jax.lax.scan(
+                step, (m0, d0, acc0, k, v), None, length=n_dev
+            )
         out = acc / d[..., None]
         return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
@@ -137,6 +163,7 @@ def fused_ring_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     seq_axis: str = "seq",
+    bounded_logits: bool = False,
 ) -> jnp.ndarray:
     """The Pallas RDMA ring kernel (ops/pallas/ring_attention.py), with
     interpret mode selected automatically off-TPU so the same model code runs
@@ -144,7 +171,8 @@ def fused_ring_attention(
     from omnivggt_tpu.ops.pallas.ring_attention import ring_flash_attention
 
     return ring_flash_attention(
-        q, k, v, mesh, seq_axis, interpret=jax.default_backend() != "tpu"
+        q, k, v, mesh, seq_axis, interpret=jax.default_backend() != "tpu",
+        bounded_logits=bounded_logits,
     )
 
 

@@ -50,8 +50,13 @@ class AttnShard:
                     " use global_attn='allgather' for bucketed serving"
                 )
             if self.kind == "ring_fused":
-                return pattn.fused_ring_attention(q, k, v, self.mesh, self.axis)
-            return pattn.ring_attention(q, k, v, self.mesh, self.axis)
+                return pattn.fused_ring_attention(
+                    q, k, v, self.mesh, self.axis,
+                    bounded_logits=bounded_logits,
+                )
+            return pattn.ring_attention(
+                q, k, v, self.mesh, self.axis, bounded_logits=bounded_logits
+            )
         raise ValueError(self.kind)
 
 

@@ -64,6 +64,47 @@ def test_ring_flash_attention_multi_chunk():
 
 
 @needs_8dev
+@pytest.mark.parametrize("ragged", [False, True])
+def test_ring_flash_attention_bounded_logits(ragged):
+    """Bounded mode (fixed-max softmax, no running-max carry) is exact on
+    qk-norm-scale inputs — both the VMEM kernel (divisible shard) and the
+    HBM-staged kernel (ragged shard)."""
+    mesh = _seq_mesh()
+    rng = np.random.default_rng(5)
+    B, H, D = 1, 2, 64
+    nl = 300 if ragged else 256
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, 8 * nl, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    out = np.asarray(
+        ring_flash_attention(
+            q, k, v, mesh, "seq", block_q=128, block_k=128, interpret=True,
+            bounded_logits=True,
+        )
+    )
+    np.testing.assert_allclose(ref, out, atol=2e-5)
+
+
+@needs_8dev
+def test_unfused_ring_bounded_logits():
+    from omnivggt_tpu.parallel import attention as pattn
+
+    mesh = _seq_mesh()
+    rng = np.random.default_rng(6)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 8 * 64, 2, 64)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    out = np.asarray(
+        pattn.ring_attention(q, k, v, mesh, "seq", bounded_logits=True)
+    )
+    np.testing.assert_allclose(ref, out, atol=2e-5)
+
+
+@needs_8dev
 def test_ring_flash_attention_rejects_oversize():
     mesh = _seq_mesh()
     q = jnp.zeros((1, 8 * 40960, 2, 64), jnp.float32)
