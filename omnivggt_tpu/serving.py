@@ -3,16 +3,23 @@
 A minimal production-style serving layer over the jit-compiled model:
 
   - `InferenceSession`: owns params + a cache of compiled forwards keyed on
-    (bucketed S, H, W, modality combo). The default pad_mode="bucket" pads the
-    frame count up to the next bucket so a handful of compilations serve
-    arbitrary scene sizes; padded frames are masked out of every cross-frame
-    attention (num_valid_frames plumbed through the model), so bucketed
-    results match the unpadded forward exactly (up to reduction-order float
-    noise, < 1e-5). pad_mode="exact" compiles one executable per distinct
-    frame count instead.
+    (bucketed S, H, W, modality combo, batch size). The default
+    pad_mode="bucket" pads the frame count up to the next bucket so a handful
+    of compilations serve arbitrary scene sizes; padded frames are masked out
+    of every cross-frame attention (num_valid_frames plumbed through the
+    model), so bucketed results match the unpadded forward exactly (up to
+    reduction-order float noise, < 1e-5). pad_mode="exact" compiles one
+    executable per distinct frame count instead.
+  - `Batcher`: coalesces concurrent same-shape requests into one batched
+    forward (scene batching over the leading B axis) — the device executes
+    serially, so stacking B compatible scenes amortizes dispatch and keeps
+    the MXU fed. Requests group by the full compilation key plus the gt-index
+    tuples (aux masks are per-key, not per-scene).
   - `serve()`: a stdlib HTTP endpoint — POST /infer with an .npz body
     (images [+ extrinsics/intrinsics/depth/mask + camera_gt_index/
-    depth_gt_index]) returns an .npz of predictions. GET /healthz for liveness.
+    depth_gt_index]) returns an .npz of predictions; POST /infer_glb returns
+    a binary GLB scene export. GET /healthz for liveness. Optional bearer
+    `token` auth.
 
 The reference has no serving story (single CLI process); this is the
 framework-level replacement.
@@ -26,7 +33,7 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler
 from socketserver import ThreadingTCPServer
-from typing import Dict, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -72,7 +79,7 @@ class InferenceSession:
                 return b
         return S
 
-    def infer(
+    def _prepare(
         self,
         images: np.ndarray,
         extrinsics=None,
@@ -81,14 +88,10 @@ class InferenceSession:
         mask=None,
         camera_gt_index: Optional[Sequence[int]] = None,
         depth_gt_index: Optional[Sequence[int]] = None,
-    ) -> Dict[str, np.ndarray]:
-        """images: (S, H, W, 3) float [0,1]. Returns numpy predictions with
-        the padding frames stripped."""
-        import jax
-        import jax.numpy as jnp
-
-        from omnivggt_tpu.models import omnivggt as M
-        from omnivggt_tpu.models.omnivggt import make_aux
+    ) -> dict:
+        """Validate + frame-pad one scene; returns the unbatched arrays and
+        the compatibility key under which scenes may share one executable
+        (and be stacked into one batch)."""
         from omnivggt_tpu.utils.validation import validate_batch
 
         images = np.asarray(images, np.float32)
@@ -116,34 +119,79 @@ class InferenceSession:
         Sb = self._bucket(S)
         pad = Sb - S
 
-        def pad_frames(x, fill=0.0):
-            if x is None or pad == 0:
+        def pad_frames(x, shape, fill=0.0):
+            if x is None:
+                return None
+            x = np.asarray(x, np.float32).reshape(shape)
+            if pad == 0:
                 return x
-            x = np.asarray(x)
             widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, widths, constant_values=fill)
 
-        imgs = pad_frames(images)[None]
-        aux = make_aux(
-            Sb,
-            None if extrinsics is None else pad_frames(np.asarray(extrinsics).reshape(S, 3, 4))[None],
-            None if intrinsics is None else pad_frames(np.asarray(intrinsics).reshape(S, 3, 3))[None],
-            None if depth is None else pad_frames(np.asarray(depth).reshape(S, H, W, 1))[None],
-            None if mask is None else pad_frames(np.asarray(mask).reshape(S, H, W))[None],
-            depth_gt_index,
-            camera_gt_index,
-        )
-        has_cam = aux is not None and aux.camera_mask is not None
-        has_depth = aux is not None and aux.depth_mask is not None
+        has_cam = camera_gt_index is not None and len(camera_gt_index) > 0
+        has_depth = depth_gt_index is not None and len(depth_gt_index) > 0
         # exact-fit requests (pad == 0) run the unmasked executable: no
         # per-tile masking pass, identical to exact mode. Padded requests run
         # the masked executable, whose num_valid_frames is a *traced* scalar
         # so one compilation serves every S < bucket.
         masked = self.pad_mode == "bucket" and pad > 0
-        key = (Sb, H, W, has_cam, has_depth, masked)
+        return {
+            "images": pad_frames(images, (S, H, W, 3)),
+            "extrinsics": pad_frames(extrinsics, (S, 3, 4)),
+            "intrinsics": pad_frames(intrinsics, (S, 3, 3)),
+            "depth": pad_frames(depth, (S, H, W, 1)),
+            "mask": pad_frames(mask, (S, H, W)),
+            "camera_gt_index": camera_gt_index,
+            "depth_gt_index": depth_gt_index,
+            "S": S,
+            "Sb": Sb,
+            # executable identity: S and the gt indices are traced inputs
+            # (num_valid_frames scalar / mask arrays), so ONE compilation
+            # serves every S below the bucket and any gt-index layout
+            "exec_key": (Sb, H, W, has_cam, has_depth, masked),
+            # batch identity: aux masks and num_valid_frames are shared
+            # across a stacked batch, so batchable scenes must also agree on
+            # S and the gt-index tuples
+            "key": (
+                Sb, H, W, has_cam, has_depth, masked, S,
+                tuple(camera_gt_index or ()), tuple(depth_gt_index or ()),
+            ),
+        }
 
+    def _execute(self, reqs: List[dict]) -> List[Dict[str, np.ndarray]]:
+        """Run one batched forward over prepared scenes sharing one key."""
+        import jax
+        import jax.numpy as jnp
+
+        from omnivggt_tpu.models import omnivggt as M
+        from omnivggt_tpu.models.omnivggt import make_aux
+
+        key = reqs[0]["key"]
+        if any(r["key"] != key for r in reqs):
+            raise ValueError("batched scenes must share one compilation key")
+        B = len(reqs)
+        S, Sb = reqs[0]["S"], reqs[0]["Sb"]
+        masked = key[5]
+
+        def stack(name):
+            if reqs[0][name] is None:
+                return None
+            return np.stack([r[name] for r in reqs])
+
+        imgs = stack("images")
+        aux = make_aux(
+            Sb,
+            stack("extrinsics"),
+            stack("intrinsics"),
+            stack("depth"),
+            stack("mask"),
+            reqs[0]["depth_gt_index"],
+            reqs[0]["camera_gt_index"],
+        )
+
+        jit_key = (*reqs[0]["exec_key"], B)
         with self._lock:
-            if key not in self._jitted:
+            if jit_key not in self._jitted:
                 cfg = self.model.config
                 sharding = self.sharding
 
@@ -161,8 +209,8 @@ class InferenceSession:
                             params, images, cfg, aux, sharding=sharding
                         )
 
-                self._jitted[key] = fwd
-            fwd = self._jitted[key]
+                self._jitted[jit_key] = fwd
+            fwd = self._jitted[jit_key]
 
         if masked:
             preds = fwd(
@@ -170,41 +218,206 @@ class InferenceSession:
             )
         else:
             preds = fwd(self.model.params, jnp.asarray(imgs), aux)
-        out = {}
+
+        outs: List[Dict[str, np.ndarray]] = [{} for _ in range(B)]
         for k, v in preds.items():
             arr = np.asarray(v)
-            if k == "pose_enc_list":
-                arr = arr[:, 0, :S]
-            elif arr.ndim >= 2 and arr.shape[0] == 1:
-                arr = arr[0, :S]
-            out[k] = arr
-        return out
+            for b in range(B):
+                if k == "pose_enc_list":
+                    outs[b][k] = arr[:, b, :S]
+                elif arr.ndim >= 2 and arr.shape[0] == B:
+                    outs[b][k] = arr[b, :S]
+                else:
+                    outs[b][k] = arr
+        return outs
+
+    def infer(
+        self,
+        images: np.ndarray,
+        extrinsics=None,
+        intrinsics=None,
+        depth=None,
+        mask=None,
+        camera_gt_index: Optional[Sequence[int]] = None,
+        depth_gt_index: Optional[Sequence[int]] = None,
+    ) -> Dict[str, np.ndarray]:
+        """images: (S, H, W, 3) float [0,1]. Returns numpy predictions with
+        the padding frames stripped."""
+        req = self._prepare(
+            images, extrinsics, intrinsics, depth, mask,
+            camera_gt_index, depth_gt_index,
+        )
+        return self._execute([req])[0]
+
+    def infer_batch(self, requests: List[dict]) -> List[Dict[str, np.ndarray]]:
+        """Run several scenes, stacking compatible ones (same frame count,
+        resolution, and modality layout) into shared batched forwards.
+        Each request is a kwargs dict for `infer`. Results keep order."""
+        prepared = [self._prepare(**r) for r in requests]
+        groups: Dict[tuple, List[int]] = {}
+        for i, p in enumerate(prepared):
+            groups.setdefault(p["key"], []).append(i)
+        results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(requests)
+        for idxs in groups.values():
+            outs = self._execute([prepared[i] for i in idxs])
+            for i, out in zip(idxs, outs):
+                results[i] = out
+        return results
 
 
-def serve(session: InferenceSession, port: int = 8000, background: bool = False):
-    """POST /infer (npz body) -> npz predictions; GET /healthz -> JSON."""
+class Batcher:
+    """Coalesces concurrent requests into batched forwards.
+
+    Requests arriving within `window_ms` of each other that share a
+    compilation key (frame count, resolution, modality layout) are stacked
+    along the batch axis and served by ONE device dispatch — the classic
+    cross-request batching the reference's single-process CLI cannot do.
+    `submit()` blocks the calling thread until its scene's result is ready.
+    """
+
+    def __init__(self, session: InferenceSession, max_batch: int = 8,
+                 window_ms: float = 4.0):
+        self.session = session
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self._cv = threading.Condition()
+        self._pending: Dict[tuple, List[dict]] = {}  # key -> [entry]
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, **request) -> Dict[str, np.ndarray]:
+        prepared = self.session._prepare(**request)
+        entry = {
+            "req": prepared,
+            "event": threading.Event(),
+            "result": None,
+            "error": None,
+            "t": time.monotonic(),
+        }
+        with self._cv:
+            self._pending.setdefault(prepared["key"], []).append(entry)
+            self._cv.notify()
+        entry["event"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        return entry["result"]
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        while True:
+            group = None
+            with self._cv:
+                while not self._pending and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._pending:
+                    return
+                # serve the key whose oldest request has waited longest, but
+                # only once it is full or its window has elapsed
+                key = min(self._pending, key=lambda k: self._pending[k][0]["t"])
+                entries = self._pending[key]
+                age = time.monotonic() - entries[0]["t"]
+                if len(entries) < self.max_batch and age < self.window:
+                    self._cv.wait(timeout=self.window - age)
+                    continue
+                group = entries[: self.max_batch]
+                del entries[: self.max_batch]
+                if not entries:
+                    del self._pending[key]
+            try:
+                outs = self.session._execute([e["req"] for e in group])
+                for e, out in zip(group, outs):
+                    e["result"] = out
+            except Exception as err:  # noqa: BLE001 — delivered to callers
+                for e in group:
+                    e["error"] = err
+            for e in group:
+                e["event"].set()
+
+
+def _glb_from_preds(preds: Dict[str, np.ndarray], H: int, W: int,
+                    **glb_kwargs) -> bytes:
+    """predictions -> binary GLB (the inference.py --save_glb pipeline)."""
+    from omnivggt_tpu.utils.geometry import (
+        pose_encoding_to_extri_intri, unproject_depth_map_to_point_map,
+    )
+    from omnivggt_tpu.viz.glb import predictions_to_glb_data, write_glb
+
+    extrinsic, intrinsic = pose_encoding_to_extri_intri(
+        preds["pose_enc"][None], (H, W)
+    )
+    p = dict(preds)
+    p["extrinsic"] = np.asarray(extrinsic)[0]
+    p["intrinsic"] = np.asarray(intrinsic)[0]
+    p["world_points_from_depth"] = unproject_depth_map_to_point_map(
+        p["depth"], p["extrinsic"], p["intrinsic"]
+    )
+    points, colors, cam_meshes = predictions_to_glb_data(p, **glb_kwargs)
+    buf = io.BytesIO()
+    write_glb(buf, points, colors, cam_meshes)
+    return buf.getvalue()
+
+
+def serve(session: InferenceSession, port: int = 8000, background: bool = False,
+          token: Optional[str] = None, batch_window_ms: float = 0.0,
+          max_batch: int = 8):
+    """POST /infer (npz body) -> npz predictions; POST /infer_glb -> binary
+    GLB; GET /healthz -> JSON. `token` enables bearer auth;
+    `batch_window_ms` > 0 coalesces concurrent compatible requests into
+    batched forwards (see Batcher)."""
+    batcher = (
+        Batcher(session, max_batch=max_batch, window_ms=batch_window_ms)
+        if batch_window_ms > 0
+        else None
+    )
+
+    def run_infer(**kwargs):
+        if batcher is not None:
+            return batcher.submit(**kwargs)
+        return session.infer(**kwargs)
 
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code, body, ctype):
+        def _send(self, code, body, ctype, extra=None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
+
+        def _authed(self) -> bool:
+            if token is None:
+                return True
+            if self.headers.get("Authorization") == f"Bearer {token}":
+                return True
+            self._send(
+                401, b'{"error": "unauthorized"}', "application/json"
+            )
+            return False
 
         def do_GET(self):
             if self.path.rstrip("/") == "/healthz" or self.path == "/":
                 body = json.dumps(
                     {"status": "ok", "buckets": session.buckets,
-                     "compiled": [list(k) for k in session._jitted]}
+                     "batching": batcher is not None,
+                     "compiled": [str(k) for k in session._jitted]}
                 ).encode()
                 self._send(200, body, "application/json")
             else:
                 self._send(404, b"{}", "application/json")
 
         def do_POST(self):
-            if self.path.rstrip("/") != "/infer":
+            route = self.path.rstrip("/")
+            if route not in ("/infer", "/infer_glb"):
                 self._send(404, b"{}", "application/json")
+                return
+            if not self._authed():
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -213,18 +426,28 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False)
                 for idx_key in ("camera_gt_index", "depth_gt_index"):
                     if idx_key in kwargs:
                         kwargs[idx_key] = [int(i) for i in kwargs[idx_key]]
+                glb_kwargs = {}
+                if route == "/infer_glb":
+                    for gk, cast in (
+                        ("conf_thres", float), ("mask_black_bg", bool),
+                        ("mask_white_bg", bool), ("prediction_mode", str),
+                    ):
+                        if gk in kwargs:
+                            glb_kwargs[gk] = cast(kwargs.pop(gk))
                 t0 = time.time()
-                preds = session.infer(**kwargs)
+                preds = run_infer(**kwargs)
                 dt = time.time() - t0
-                buf = io.BytesIO()
-                np.savez(buf, **preds)
-                self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
-                self.send_header("X-Inference-Seconds", f"{dt:.3f}")
-                body = buf.getvalue()
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                hdr = {"X-Inference-Seconds": f"{dt:.3f}"}
+                if route == "/infer_glb":
+                    H, W = np.asarray(kwargs["images"]).shape[1:3]
+                    body = _glb_from_preds(preds, H, W, **glb_kwargs)
+                    self._send(200, body, "model/gltf-binary", hdr)
+                else:
+                    buf = io.BytesIO()
+                    np.savez(buf, **preds)
+                    self._send(
+                        200, buf.getvalue(), "application/octet-stream", hdr
+                    )
             except Exception as e:  # noqa: BLE001 — report to the client
                 body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
                 self._send(400, body, "application/json")

@@ -154,13 +154,19 @@ def write_glb(
     json_bytes = _pad4(json.dumps(gltf, separators=(",", ":")).encode(), b" ")
     bin_bytes = b"".join(bin_parts)
 
-    with open(path, "wb") as f:
+    def emit(f):
         total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
         f.write(struct.pack("<III", 0x46546C67, 2, total))  # glTF magic
         f.write(struct.pack("<II", len(json_bytes), 0x4E4F534A))  # JSON
         f.write(json_bytes)
         f.write(struct.pack("<II", len(bin_bytes), 0x004E4942))  # BIN
         f.write(bin_bytes)
+
+    if hasattr(path, "write"):  # file-like (e.g. an HTTP response stream)
+        emit(path)
+    else:
+        with open(path, "wb") as f:
+            emit(f)
 
 
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ def test_session_exact_mode_matches_direct_forward(session):
     out = session.infer(imgs3)
     assert out["pose_enc"].shape == (3, 9)
     assert out["depth"].shape == (3, 28, 28, 1)
-    assert (3, 28, 28, False, False, False) in session._jitted
+    assert (3, 28, 28, False, False, False, 1) in session._jitted
 
     direct = session.model(imgs3)
     np.testing.assert_allclose(
@@ -44,14 +44,14 @@ def test_session_bucketing():
     out = session.infer(imgs3)
     # padded to bucket 4 internally, stripped back to 3 frames
     assert out["pose_enc"].shape == (3, 9)
-    assert list(session._jitted) == [(4, 28, 28, False, False, True)]
+    assert list(session._jitted) == [(4, 28, 28, False, False, True, 1)]
 
     # a second 4-frame request reuses the compiled bucket
     # an exact-fit 4-frame request uses the unmasked executable (no
     # per-tile masking pass) under the same bucket
     out4 = session.infer(rng.uniform(size=(4, 28, 28, 3)).astype(np.float32))
     assert out4["pose_enc"].shape == (4, 9)
-    assert (4, 28, 28, False, False, False) in session._jitted
+    assert (4, 28, 28, False, False, False, 1) in session._jitted
     assert len(session._jitted) == 2
 
 
@@ -126,7 +126,7 @@ def test_bucketed_equals_exact():
 
     out_b = bucketed.infer(imgs)
     out_e = exact.infer(imgs)
-    assert list(bucketed._jitted) == [(4, 28, 28, False, False, True)]
+    assert list(bucketed._jitted) == [(4, 28, 28, False, False, True, 1)]
     for k in out_e:
         assert out_b[k].shape == out_e[k].shape, k
         np.testing.assert_allclose(
@@ -148,6 +148,106 @@ def test_bucketed_equals_exact():
         np.testing.assert_allclose(
             out_b[k], out_e[k], atol=2e-5, rtol=1e-5, err_msg=k
         )
+
+
+def test_infer_batch_stacks_compatible_scenes():
+    """Compatible scenes share ONE batched executable; results match the
+    single-scene path exactly."""
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2, 4), pad_mode="exact"
+    )
+    rng = np.random.default_rng(7)
+    scenes = [
+        {"images": rng.uniform(size=(2, 28, 28, 3)).astype(np.float32)}
+        for _ in range(3)
+    ]
+    odd = {"images": rng.uniform(size=(3, 28, 28, 3)).astype(np.float32)}
+    outs = session.infer_batch(scenes + [odd])
+    assert len(outs) == 4
+    # one B=3 executable for the trio, one B=1 for the odd scene
+    assert (2, 28, 28, False, False, False, 3) in session._jitted
+    assert (3, 28, 28, False, False, False, 1) in session._jitted
+    singles = [session.infer(**s) for s in scenes]
+    for got, want in zip(outs[:3], singles):
+        for k in want:
+            np.testing.assert_allclose(
+                got[k], want[k], atol=2e-5, rtol=1e-5, err_msg=k
+            )
+    assert outs[3]["pose_enc"].shape == (3, 9)
+
+
+def test_batcher_coalesces_concurrent_requests():
+    """Concurrent submits within the window run as one batched forward."""
+    import threading
+
+    from omnivggt_tpu.serving import Batcher
+
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2,), pad_mode="exact"
+    )
+    batcher = Batcher(session, max_batch=4, window_ms=300.0)
+    rng = np.random.default_rng(8)
+    imgs = [
+        rng.uniform(size=(2, 28, 28, 3)).astype(np.float32) for _ in range(3)
+    ]
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = batcher.submit(images=imgs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    batcher.close()
+    assert all(r is not None for r in results)
+    # the window coalesced all three -> only a B=3 executable exists
+    assert (2, 28, 28, False, False, False, 3) in session._jitted
+    for i in range(3):
+        want = session.infer(images=imgs[i])
+        np.testing.assert_allclose(
+            results[i]["pose_enc"], want["pose_enc"], atol=2e-5, rtol=1e-5
+        )
+
+
+def test_http_glb_endpoint_and_auth():
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2,), pad_mode="exact"
+    )
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    httpd, thread = serve(session, port=port, background=True, token="sekrit")
+    try:
+        rng = np.random.default_rng(9)
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            images=rng.uniform(size=(2, 28, 28, 3)).astype(np.float32),
+            conf_thres=np.float32(10.0),
+        )
+        # unauthenticated -> 401
+        req = urllib.request.Request(
+            f"http://localhost:{port}/infer_glb", data=buf.getvalue(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("expected HTTP 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        # authenticated -> a valid GLB binary
+        req = urllib.request.Request(
+            f"http://localhost:{port}/infer_glb", data=buf.getvalue(),
+            method="POST", headers={"Authorization": "Bearer sekrit"},
+        )
+        resp = urllib.request.urlopen(req, timeout=300)
+        body = resp.read()
+        assert resp.headers["Content-Type"] == "model/gltf-binary"
+        assert body[:4] == b"glTF"
+    finally:
+        httpd.shutdown()
 
 
 def test_bucket_mode_rejects_ring_sharding():
