@@ -62,29 +62,35 @@ class SceneDataset:
         augment=None,
         seed: int = 0,
     ):
-        from omnivggt_tpu.data.loader import load_images_and_cameras
+        from omnivggt_tpu.data.formats import (
+            is_co3d_sequence, is_scannet_scene, load_scene,
+        )
 
         self.views_per_sample = views_per_sample
         self.camera_keep_prob = camera_keep_prob
         self.depth_keep_prob = depth_keep_prob
         self.augment = augment
         self._rng = np.random.default_rng(seed)
-        self._load = lambda sc: load_images_and_cameras(
-            os.path.join(sc, "images"),
-            camera_folder=self._opt(sc, "cameras"),
-            depth_folder=self._opt(sc, "depths"),
-            target_size=target_size,
-        )
+        # format-dispatching reader: example folder layout, extracted
+        # ScanNet scenes, and CO3D sequences all yield the canonical tuple
+        self._load = lambda sc: load_scene(sc, target_size=target_size)
+
+        def is_scene(p: str) -> bool:
+            return (
+                os.path.isdir(os.path.join(p, "images"))
+                or is_scannet_scene(p)
+                or is_co3d_sequence(p)
+            )
 
         self.scene_dirs: List[str] = sorted(
-            os.path.join(root, d)
+            p
             for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d, "images"))
+            if os.path.isdir(p := os.path.join(root, d)) and is_scene(p)
         )
-        if os.path.isdir(os.path.join(root, "images")):
+        if is_scene(root):
             self.scene_dirs.insert(0, root)  # root itself is a scene
         if not self.scene_dirs:
-            raise ValueError(f"no scene folders with images/ under {root}")
+            raise ValueError(f"no scene folders under {root}")
         self._cache = {}
 
     @staticmethod
