@@ -108,12 +108,16 @@ def load_scannet_scene(
         stem = os.path.splitext(os.path.basename(p))[0]
         return int(stem) if stem.isdigit() else stem
 
-    color_paths = sorted(
-        glob.glob(os.path.join(scene_dir, "color", "*")), key=frame_id
-    )
     color_paths = [
-        p for p in color_paths if p.lower().endswith((".jpg", ".jpeg", ".png"))
-    ][::stride]
+        p
+        for p in glob.glob(os.path.join(scene_dir, "color", "*"))
+        if p.lower().endswith((".jpg", ".jpeg", ".png"))
+    ]
+    # filter BEFORE sorting: stray non-numeric files (.DS_Store etc.) must
+    # not poison the int/str sort key
+    numeric = all(isinstance(frame_id(p), int) for p in color_paths)
+    color_paths = sorted(color_paths, key=frame_id if numeric else str)
+    color_paths = color_paths[::stride]
     if max_frames:
         color_paths = color_paths[:max_frames]
     if not color_paths:
@@ -181,8 +185,12 @@ def load_scannet_scene(
 
 
 def is_co3d_sequence(seq_dir: str) -> bool:
+    # real CO3D categories hold non-sequence dirs (set_lists/, eval_batches/)
+    # next to frame_annotations.jgz — require the sequence's images/ too
     parent = os.path.dirname(os.path.abspath(seq_dir))
-    return os.path.exists(os.path.join(parent, "frame_annotations.jgz"))
+    return os.path.exists(
+        os.path.join(parent, "frame_annotations.jgz")
+    ) and os.path.isdir(os.path.join(seq_dir, "images"))
 
 
 def _pt3d_ndc_to_pixel_K(
@@ -215,6 +223,25 @@ def _pt3d_pose_to_opencv_w2c(R: np.ndarray, T: np.ndarray) -> np.ndarray:
     return np.concatenate([R_cv, t_cv[:, None]], axis=1)
 
 
+# one category-level frame_annotations.jgz covers hundreds of sequences and
+# can hold ~100k frame records — parse it once and index by sequence
+_CO3D_ANN_CACHE: dict = {}
+
+
+def _load_co3d_annotations(ann_path: str) -> dict:
+    key = (ann_path, os.path.getmtime(ann_path))
+    if key not in _CO3D_ANN_CACHE:
+        while len(_CO3D_ANN_CACHE) >= 4:  # bound host memory, keep a few
+            _CO3D_ANN_CACHE.pop(next(iter(_CO3D_ANN_CACHE)))  # categories hot
+        with gzip.open(ann_path, "rt") as f:
+            annotations = json.load(f)
+        by_seq: dict = {}
+        for a in annotations:
+            by_seq.setdefault(a.get("sequence_name"), []).append(a)
+        _CO3D_ANN_CACHE[key] = by_seq
+    return _CO3D_ANN_CACHE[key]
+
+
 def load_co3d_sequence(
     seq_dir: str,
     target_size: int = TARGET_SIZE,
@@ -235,10 +262,9 @@ def load_co3d_sequence(
     root = os.path.dirname(category_dir)
     seq_name = os.path.basename(seq_dir)
     ann_path = os.path.join(category_dir, "frame_annotations.jgz")
-    with gzip.open(ann_path, "rt") as f:
-        annotations = json.load(f)
+    by_seq = _load_co3d_annotations(ann_path)
 
-    frames = [a for a in annotations if a.get("sequence_name") == seq_name]
+    frames = list(by_seq.get(seq_name, ()))
     if not frames:
         raise ValueError(f"sequence {seq_name!r} not found in {ann_path}")
     frames.sort(key=lambda a: a.get("frame_number", 0))

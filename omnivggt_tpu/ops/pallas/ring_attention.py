@@ -69,13 +69,8 @@ def _ring_kernel(
     v_ref,  # (1, Nl, D) VMEM
     o_ref,  # (1, Nl, D) VMEM out
     kv_buf,  # (2, 2, Nl, D) VMEM scratch: [slot][k|v]
-    m_scr,  # (Nl, 128) f32
-    l_scr,  # (Nl, 128) f32
-    acc_scr,  # (Nl, D) f32
-    send_sem,
-    recv_sem,
-    ready_sem,
-    *,
+    *scr,  # [m (chunk,128) f32 — unless bounded], l (chunk,128), acc
+    # (chunk, D), then send/recv/ready semaphores
     axis_name: str,
     n_dev: int,
     scale: float,
@@ -84,6 +79,10 @@ def _ring_kernel(
     handshake: bool,
     bounded: bool = False,
 ):
+    # bounded mode runs the softmax at a fixed max of 0 — the running-max
+    # scratch is not allocated at all (VMEM headroom goes to the KV buffer)
+    m_scr = None if bounded else scr[0]
+    l_scr, acc_scr, send_sem, recv_sem, ready_sem = scr[-5:]
     right, left = _ring_neighbors(axis_name, n_dev)
 
     nl = q_ref.shape[1]
@@ -99,7 +98,7 @@ def _ring_kernel(
         q_base = ci * chunk
         kv_buf[0, 0] = k_ref[0]
         kv_buf[0, 1] = v_ref[0]
-        if not bounded:
+        if m_scr is not None:
             m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
@@ -214,16 +213,8 @@ def _ring_hbm_kernel(
     kt,  # (2, block_k, D) streamed K tiles
     vt,  # (2, block_k, D) streamed V tiles
     o_stage,  # (block_q, D) output staging
-    m_scr,  # (nl_pad, 8) f32
-    l_scr,  # (nl_pad, 8) f32
-    acc_scr,  # (nl_pad, D) f32
-    in_sem,  # DMA (3,)
-    tile_sem,  # DMA (4,): k/v x double buffer
-    out_sem,  # DMA ()
-    send_sem,  # DMA (2,)
-    recv_sem,  # DMA (2,)
-    ready_sem,  # REGULAR
-    *,
+    *scr,  # [m (nl_pad,8) f32 — unless bounded], l (nl_pad,8),
+    # acc (nl_pad,D), then in/tile/out/send/recv/ready semaphores
     axis_name: str,
     n_dev: int,
     scale: float,
@@ -233,6 +224,9 @@ def _ring_hbm_kernel(
     handshake: bool,
     bounded: bool = False,
 ):
+    m_scr = None if bounded else scr[0]
+    (l_scr, acc_scr, in_sem, tile_sem, out_sem, send_sem, recv_sem,
+     ready_sem) = scr[-8:]
     b = pl.program_id(0)
     right, left = _ring_neighbors(axis_name, n_dev)
 
@@ -250,7 +244,7 @@ def _ring_hbm_kernel(
     cp_k.wait()
     cp_v.wait()
 
-    if not bounded:
+    if m_scr is not None:
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
     l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
@@ -450,7 +444,11 @@ def ring_flash_attention_hbm(
                 pltpu.VMEM((2, block_k, D), q.dtype),  # K tiles
                 pltpu.VMEM((2, block_k, D), q.dtype),  # V tiles
                 pltpu.VMEM((block_q, D), q.dtype),  # out staging
-                pltpu.VMEM((nl_pad, 8), jnp.float32),  # m
+                *(
+                    []
+                    if bounded_logits
+                    else [pltpu.VMEM((nl_pad, 8), jnp.float32)]  # m
+                ),
                 pltpu.VMEM((nl_pad, 8), jnp.float32),  # l
                 pltpu.VMEM((nl_pad, D), jnp.float32),  # acc
                 pltpu.SemaphoreType.DMA((3,)),
@@ -550,9 +548,13 @@ def ring_flash_attention(
             out_shape=jax.ShapeDtypeStruct((B * H, nl, D), q.dtype),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, nl, D), q.dtype),
-                pltpu.VMEM((chunk, 128), jnp.float32),
-                pltpu.VMEM((chunk, 128), jnp.float32),
-                pltpu.VMEM((chunk, D), jnp.float32),
+                *(
+                    []
+                    if bounded_logits
+                    else [pltpu.VMEM((chunk, 128), jnp.float32)]  # m
+                ),
+                pltpu.VMEM((chunk, 128), jnp.float32),  # l
+                pltpu.VMEM((chunk, D), jnp.float32),  # acc
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.REGULAR,

@@ -151,10 +151,14 @@ class InferenceSession:
             "exec_key": (Sb, H, W, has_cam, has_depth, masked),
             # batch identity: aux masks and num_valid_frames are shared
             # across a stacked batch, so batchable scenes must also agree on
-            # S and the gt-index tuples
+            # S, the gt-index tuples, AND which aux arrays are present
+            # (np.stack can't mix a scene carrying a mask with one that
+            # doesn't)
             "key": (
                 Sb, H, W, has_cam, has_depth, masked, S,
                 tuple(camera_gt_index or ()), tuple(depth_gt_index or ()),
+                extrinsics is not None, intrinsics is not None,
+                depth is not None, mask is not None,
             ),
         }
 
@@ -394,7 +398,11 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
         def _authed(self) -> bool:
             if token is None:
                 return True
-            if self.headers.get("Authorization") == f"Bearer {token}":
+            import hmac
+
+            if hmac.compare_digest(
+                self.headers.get("Authorization", ""), f"Bearer {token}"
+            ):
                 return True
             self._send(
                 401, b'{"error": "unauthorized"}', "application/json"
@@ -403,10 +411,12 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
 
         def do_GET(self):
             if self.path.rstrip("/") == "/healthz" or self.path == "/":
+                with session._lock:  # _execute inserts concurrently
+                    compiled = [str(k) for k in session._jitted]
                 body = json.dumps(
                     {"status": "ok", "buckets": session.buckets,
                      "batching": batcher is not None,
-                     "compiled": [str(k) for k in session._jitted]}
+                     "compiled": compiled}
                 ).encode()
                 self._send(200, body, "application/json")
             else:
