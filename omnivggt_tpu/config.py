@@ -179,6 +179,11 @@ class OmniVGGTConfig:
     # head compute dtype — "bfloat16" trades a small accuracy delta for
     # faster dense heads; fp32 is the reference-parity default
     head_dtype: str = "float32"
+    # permit the fixed-max flash softmax for qk-normed attention (exact up to
+    # float rounding while the weight-dependent logit bound holds; checkpoint
+    # loading verifies the bound via utils/validation.qk_logit_bound and
+    # flips this off for pathological weights)
+    bounded_attn_logits: bool = True
 
     def __post_init__(self):
         # propagate top-level sizes into the aggregator AND the heads,

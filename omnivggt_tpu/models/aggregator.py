@@ -201,6 +201,7 @@ def apply(
     remat: bool = False,
     train_rng=None,
     num_valid_frames=None,
+    allow_bounded: bool = True,
 ):
     """Run the aggregator.
 
@@ -344,6 +345,7 @@ def apply(
             shard=frame_shard,
             drop_path_rate=dp_rate,
             drop_path_key=dp_key if dp_rate > 0.0 else None,
+            allow_bounded=allow_bounded,
         )
         x = x.reshape(B, S, P, C)
         # camera re-injection into the camera token (slot 0)
@@ -369,6 +371,7 @@ def apply(
             drop_path_rate=dp_rate,
             drop_path_key=dp_key if dp_rate > 0.0 else None,
             kv_valid=kv_valid_tokens,
+            allow_bounded=allow_bounded,
         )
         return g.reshape(B, S, P, C)
 

@@ -95,6 +95,7 @@ def apply(
         remat=remat,
         train_rng=train_rng,
         num_valid_frames=num_valid_frames,
+        allow_bounded=cfg.bounded_attn_logits,
     )
     tokens_buf = tokens_buf.astype(cfg.heads_dtype)
     slot = {l: i for i, l in enumerate(out_layers)}
@@ -166,6 +167,22 @@ def make_aux(
     )
 
 
+def _certify_bounded_logits(config: OmniVGGTConfig, params) -> OmniVGGTConfig:
+    """Verify the weight-dependent qk-norm logit bound that the fixed-max
+    flash softmax relies on; flip config.bounded_attn_logits off when real
+    checkpoint weights break it (utils/validation.qk_logit_bound)."""
+    import dataclasses
+
+    from omnivggt_tpu.utils.validation import check_bounded_logits_safe
+
+    if not config.bounded_attn_logits:
+        return config
+    head_dim = config.embed_dim // config.aggregator.num_heads
+    if check_bounded_logits_safe(params, head_dim):
+        return config
+    return dataclasses.replace(config, bounded_attn_logits=False)
+
+
 class OmniVGGT:
     """Convenience wrapper bundling config + params with a jitted forward.
 
@@ -188,7 +205,9 @@ class OmniVGGT:
         from omnivggt_tpu.checkpoint import load_safetensors_params
 
         config = config or OmniVGGTConfig()
-        return cls(config, load_safetensors_params(path, config))
+        params = load_safetensors_params(path, config)
+        config = _certify_bounded_logits(config, params)
+        return cls(config, params)
 
     def save_pretrained(self, directory: str) -> str:
         """Native checkpoint: orbax params + config JSON (the counterpart of
@@ -242,6 +261,7 @@ class OmniVGGT:
         )
         template = _jax.eval_shape(lambda: init(_jax.random.PRNGKey(0), cfg))
         params = load_orbax(os.path.join(os.path.abspath(directory), "params"), template)
+        cfg = _certify_bounded_logits(cfg, params)
         return cls(cfg, params)
 
     def __call__(

@@ -148,6 +148,7 @@ def attention(
     impl: str = "auto",
     shard=None,
     kv_valid=None,
+    allow_bounded: bool = True,
 ) -> jnp.ndarray:
     """Multi-head self-attention with fused QKV, optional per-head-dim q/k
     LayerNorm, and 2D RoPE applied to q and k.
@@ -159,6 +160,9 @@ def attention(
             mesh-parallel attention strategy.
         kv_valid: optional traced int32 scalar masking keys >= kv_valid
             (valid-prefix masking).
+        allow_bounded: permit the fixed-max softmax when qk-norm is present.
+            Checkpoint loading flips this off if the converted norm weights
+            break the logit bound (utils/validation.qk_logit_bound).
     """
     B, N, C = x.shape
     head_dim = C // num_heads
@@ -176,7 +180,7 @@ def attention(
     # qk-norm bounds the scaled scores by sqrt(D)*(max|g_q|+max|b_q|)*
     # (max|g_k|+max|b_k|) — far below exp's fp32 overflow — letting the flash
     # kernel run its softmax at a fixed max (skips a pass per score tile)
-    bounded = "q_norm" in p
+    bounded = allow_bounded and "q_norm" in p
     if shard is not None:
         o = shard.attend(
             q, k, v, impl, kv_valid=kv_valid, bounded_logits=bounded
@@ -245,6 +249,7 @@ def block(
     drop_path_rate: float = 0.0,
     drop_path_key=None,
     kv_valid=None,
+    allow_bounded: bool = True,
 ) -> jnp.ndarray:
     """Pre-LN transformer block:
        x += DP(LS1(Attn(LN(x), rope))); x += DP(LS2(MLP(LN(x))))
@@ -263,6 +268,7 @@ def block(
         impl=attn_impl,
         shard=shard,
         kv_valid=kv_valid,
+        allow_bounded=allow_bounded,
     )
     if "ls1" in p:
         h = h * p["ls1"]["gamma"].astype(h.dtype)

@@ -103,3 +103,55 @@ def guard_predictions(predictions: Dict, raise_on_error: bool = False) -> List[s
     if problems and raise_on_error:
         raise ValidationError("non-finite predictions:\n  " + "\n  ".join(problems))
     return problems
+
+
+def qk_logit_bound(params, head_dim: int) -> float:
+    """Worst-case |scaled attention score| across every qk-normed attention
+    in a parameter pytree.
+
+    After per-head-dim LayerNorm with weight g and bias b, each row y of
+    q (or k) satisfies ||y||_2 <= sqrt(D) * max|g| + ||b||_2 <=
+    sqrt(D) * (max|g| + max|b|), so
+    |q . k| / sqrt(D) <= sqrt(D) * A_q * A_k, A = max|g| + max|b|.
+    Stacked (per-layer-scanned) weights are reduced over all layers at once.
+
+    Used at checkpoint load to certify the fixed-max flash softmax
+    (config.bounded_attn_logits): the kernel clamps scores at 80, so any
+    bound comfortably below that guarantees bit-clean softmax."""
+
+    def amp(p):
+        return float(np.abs(np.asarray(p["scale"])).max()) + float(
+            np.abs(np.asarray(p["bias"])).max()
+        )
+
+    worst = 0.0
+
+    def visit(node):
+        nonlocal worst
+        if isinstance(node, dict):
+            if "q_norm" in node and "k_norm" in node:
+                worst = max(worst, amp(node["q_norm"]) * amp(node["k_norm"]))
+            for v in node.values():
+                visit(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                visit(v)
+
+    visit(params)
+    return float(np.sqrt(head_dim)) * worst
+
+
+def check_bounded_logits_safe(params, head_dim: int, limit: float = 40.0) -> bool:
+    """True when the qk-norm logit bound stays under `limit` (half the flash
+    kernel's saturation clamp — generous margin). Logs when it does not."""
+    bound = qk_logit_bound(params, head_dim)
+    if bound > limit:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "qk-norm logit bound %.1f exceeds %.1f; disabling the fixed-max "
+            "flash softmax (config.bounded_attn_logits=False) for this model",
+            bound, limit,
+        )
+        return False
+    return True

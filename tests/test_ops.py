@@ -149,6 +149,34 @@ def test_flash_attention_bounded_logits():
     assert np.isfinite(out_big).all()
 
 
+def test_qk_logit_bound_certification():
+    """The weight-dependent logit bound that certifies the fixed-max flash
+    softmax: ~sqrt(D) at init (unit norm scales, zero biases), and the
+    checkpoint-load hook flips bounded_attn_logits off for weights that
+    break it."""
+    import jax as _jax
+
+    from omnivggt_tpu.config import tiny_test_config
+    from omnivggt_tpu.models import omnivggt as M
+    from omnivggt_tpu.models.omnivggt import _certify_bounded_logits
+    from omnivggt_tpu.utils.validation import qk_logit_bound
+
+    cfg = tiny_test_config()
+    params = M.init(_jax.random.PRNGKey(0), cfg)
+    head_dim = cfg.embed_dim // cfg.aggregator.num_heads
+    bound = qk_logit_bound(params, head_dim)
+    assert abs(bound - np.sqrt(head_dim)) < 1e-5  # A_q = A_k = 1 at init
+
+    assert _certify_bounded_logits(cfg, params).bounded_attn_logits
+
+    # inflate one stacked q_norm scale far beyond the certifiable range
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    qn = bad["aggregator"]["frame_blocks"]["attn"]["q_norm"]
+    qn["scale"] = qn["scale"] * 100.0
+    assert qk_logit_bound(bad, head_dim) > 40.0
+    assert not _certify_bounded_logits(cfg, bad).bounded_attn_logits
+
+
 def test_flash_attention_gradient():
     """The custom VJP (blockwise recompute) matches the gradient of the plain
     XLA attention."""
