@@ -1,0 +1,102 @@
+"""Sharded streaming input pipeline: shard writing, host partitioning,
+shuffle determinism, batching."""
+
+import numpy as np
+
+from omnivggt_tpu.data.streaming import (
+    ShardedSampleStream,
+    batch_stream,
+    write_shards,
+)
+
+
+def _samples(n):
+    for i in range(n):
+        yield {
+            "images": np.full((1, 2, 4, 4, 3), i, np.float32),
+            "idx": np.asarray([i]),
+            "camera_mask": np.asarray([True, False]),
+        }
+
+
+def test_write_and_read_round_trip(tmp_path):
+    paths = write_shards(_samples(10), str(tmp_path), samples_per_shard=4)
+    assert len(paths) == 3  # 4 + 4 + 2
+    stream = ShardedSampleStream(
+        str(tmp_path / "shard-*.tar"), shard_rank=0, num_shards=1,
+        repeat=False,
+    )
+    got = list(stream)
+    assert len(got) == 10
+    assert [int(s["idx"][0]) for s in got] == list(range(10))  # in order
+    assert got[3]["images"].shape == (1, 2, 4, 4, 3)
+    assert got[3]["images"].dtype == np.float32
+    assert float(got[3]["images"][0, 0, 0, 0, 0]) == 3.0
+
+
+def test_host_partition_covers_all_disjointly(tmp_path):
+    write_shards(_samples(12), str(tmp_path), samples_per_shard=3)  # 4 shards
+    seen = []
+    for rank in range(2):
+        stream = ShardedSampleStream(
+            str(tmp_path / "shard-*.tar"), shard_rank=rank, num_shards=2,
+            repeat=False,
+        )
+        seen.append({int(s["idx"][0]) for s in stream})
+    assert seen[0] | seen[1] == set(range(12))
+    assert seen[0] & seen[1] == set()
+    assert len(seen[0]) == len(seen[1]) == 6
+
+
+def test_more_hosts_than_shards_wraps(tmp_path):
+    write_shards(_samples(4), str(tmp_path), samples_per_shard=4)  # 1 shard
+    stream = ShardedSampleStream(
+        str(tmp_path / "shard-*.tar"), shard_rank=2, num_shards=4,
+        repeat=False,
+    )
+    assert len(list(stream)) == 4  # wrapped onto the only shard
+
+
+def test_shuffle_buffer_deterministic_and_mixing(tmp_path):
+    write_shards(_samples(20), str(tmp_path), samples_per_shard=5)
+
+    def run(seed):
+        stream = ShardedSampleStream(
+            str(tmp_path / "shard-*.tar"), shard_rank=0, num_shards=1,
+            shuffle_buffer=8, seed=seed, repeat=False,
+        )
+        return [int(s["idx"][0]) for s in stream]
+
+    a, b, c = run(1), run(1), run(2)
+    assert a == b  # deterministic under one seed
+    assert a != c  # seed changes the order
+    assert sorted(a) == list(range(20))  # nothing lost or duplicated
+    assert a != list(range(20))  # actually shuffled
+
+
+def test_repeat_reshuffles_epochs(tmp_path):
+    write_shards(_samples(8), str(tmp_path), samples_per_shard=2)
+    stream = ShardedSampleStream(
+        str(tmp_path / "shard-*.tar"), shard_rank=0, num_shards=1,
+        shuffle_buffer=4, seed=0, repeat=True,
+    )
+    it = iter(stream)
+    e1 = [int(next(it)["idx"][0]) for _ in range(8)]
+    e2 = [int(next(it)["idx"][0]) for _ in range(8)]
+    assert sorted(e1) == sorted(e2) == list(range(8))
+    assert e1 != e2  # epoch folded into the shuffle
+
+
+def test_batch_stream_stacks_and_squeezes(tmp_path):
+    write_shards(_samples(6), str(tmp_path), samples_per_shard=6)
+    stream = ShardedSampleStream(
+        str(tmp_path / "shard-*.tar"), shard_rank=0, num_shards=1,
+        repeat=False,
+    )
+    batches = list(batch_stream(stream, batch_size=2))
+    assert len(batches) == 3
+    b = batches[0]
+    # (1, S, ...) samples squeeze then stack to (B, S, ...)
+    assert b["images"].shape == (2, 2, 4, 4, 3)
+    # unbatched per-frame masks stack to (B, S)
+    assert b["camera_mask"].shape == (2, 2)
