@@ -158,30 +158,35 @@ def batch_stream(
     batch_size: int,
     prefetch_depth: int = 2,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Stack `batch_size` consecutive samples along a new leading axis and
+    """Stack `batch_size` same-shaped samples along a new leading axis and
     prefetch batches on a background thread. Samples whose leading batch dim
-    is already 1 (SceneDataset layout) are squeezed before stacking."""
+    is already 1 (SceneDataset layout) are squeezed before stacking. Mixed
+    resolutions/view-counts are grouped by shape (one executable per bucket,
+    same policy as serving) — a straggler bucket is flushed as a smaller
+    final batch when the stream ends."""
     from omnivggt_tpu.data.dataset import prefetch
 
+    def squeeze(g, k):
+        x = g[k]
+        return x[0] if (x.ndim > 0 and x.shape[0] == 1) else x
+
+    def stack(group):
+        return {k: np.stack([squeeze(g, k) for g in group]) for k in group[0]}
+
     def batches():
-        it = iter(stream)
-        while True:
-            group = []
-            try:
-                for _ in range(batch_size):
-                    group.append(next(it))
-            except StopIteration:
-                return
-            out: Dict[str, np.ndarray] = {}
-            for k in group[0]:
-                parts = [
-                    g[k][0]
-                    if (g[k].ndim > 0 and g[k].shape[0] == 1)
-                    else g[k]
-                    for g in group
-                ]
-                out[k] = np.stack(parts)
-            yield out
+        buckets: Dict[tuple, list] = {}
+        for sample in stream:
+            key = tuple(sorted(
+                (k, v.shape, str(v.dtype)) for k, v in sample.items()
+            ))
+            group = buckets.setdefault(key, [])
+            group.append(sample)
+            if len(group) >= batch_size:
+                yield stack(group)
+                buckets[key] = []
+        for group in buckets.values():
+            if group:
+                yield stack(group)
 
     return prefetch(batches(), depth=prefetch_depth)
 

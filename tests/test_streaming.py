@@ -87,6 +87,19 @@ def test_repeat_reshuffles_epochs(tmp_path):
     assert e1 != e2  # epoch folded into the shuffle
 
 
+def test_batch_stream_groups_mixed_shapes():
+    """Samples of different resolutions bucket by shape instead of failing
+    the stack; stragglers flush as a smaller final batch."""
+    def mixed():
+        for i in range(5):
+            H = 4 if i % 2 == 0 else 8  # 3 small, 2 large
+            yield {"images": np.full((1, 2, H, 4, 3), i, np.float32)}
+
+    batches = list(batch_stream(mixed(), batch_size=2))
+    shapes = sorted(b["images"].shape for b in batches)
+    assert shapes == [(1, 2, 4, 4, 3), (2, 2, 4, 4, 3), (2, 2, 8, 4, 3)]
+
+
 def test_batch_stream_stacks_and_squeezes(tmp_path):
     write_shards(_samples(6), str(tmp_path), samples_per_shard=6)
     stream = ShardedSampleStream(
