@@ -82,6 +82,9 @@ class ShardedSampleStream:
             shuffle, so every host sees a different, changing subset while
             the union covers everything.
         shuffle_buffer: size of the in-memory mixing buffer (0 = in-order).
+        shuffle_shards: reshuffle the shard order every epoch (independent of
+            the sample-level buffer; defaults on — turn off for deterministic
+            in-order eval sweeps).
         seed: base seed; epoch index is folded in for reshuffling.
         repeat: loop forever (training) or stop after one pass (eval).
     """
@@ -92,6 +95,7 @@ class ShardedSampleStream:
         shard_rank: Optional[int] = None,
         num_shards: Optional[int] = None,
         shuffle_buffer: int = 0,
+        shuffle_shards: bool = True,
         seed: int = 0,
         repeat: bool = True,
     ):
@@ -105,12 +109,13 @@ class ShardedSampleStream:
         self.rank = shard_rank
         self.world = num_shards
         self.shuffle_buffer = shuffle_buffer
+        self.shuffle_shards = shuffle_shards
         self.seed = seed
         self.repeat = repeat
 
     def _epoch_paths(self, epoch: int) -> List[str]:
         order = np.arange(len(self.paths))
-        if self.shuffle_buffer:
+        if self.shuffle_shards:
             np.random.default_rng((self.seed, epoch)).shuffle(order)
         mine = order[self.rank :: self.world]
         if len(mine) == 0:
@@ -168,7 +173,10 @@ def batch_stream(
 
     def squeeze(g, k):
         x = g[k]
-        return x[0] if (x.ndim > 0 and x.shape[0] == 1) else x
+        # only multi-axis arrays carry a (1, S, ...) batch dim to strip;
+        # squeezing 1-D per-frame masks would corrupt single-view samples
+        # (camera_mask (1,) must stack to (B, 1), not (B,))
+        return x[0] if (x.ndim >= 2 and x.shape[0] == 1) else x
 
     def stack(group):
         return {k: np.stack([squeeze(g, k) for g in group]) for k in group[0]}

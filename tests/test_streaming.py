@@ -24,7 +24,7 @@ def test_write_and_read_round_trip(tmp_path):
     assert len(paths) == 3  # 4 + 4 + 2
     stream = ShardedSampleStream(
         str(tmp_path / "shard-*.tar"), shard_rank=0, num_shards=1,
-        repeat=False,
+        shuffle_shards=False, repeat=False,
     )
     got = list(stream)
     assert len(got) == 10
@@ -72,6 +72,21 @@ def test_shuffle_buffer_deterministic_and_mixing(tmp_path):
     assert a != c  # seed changes the order
     assert sorted(a) == list(range(20))  # nothing lost or duplicated
     assert a != list(range(20))  # actually shuffled
+
+
+def test_shard_order_reshuffles_without_sample_buffer(tmp_path):
+    """Epoch-level shard reshuffling is independent of the sample shuffle
+    buffer (multi-host variation must not require in-memory mixing)."""
+    write_shards(_samples(8), str(tmp_path), samples_per_shard=2)  # 4 shards
+    stream = ShardedSampleStream(
+        str(tmp_path / "shard-*.tar"), shard_rank=0, num_shards=1,
+        shuffle_buffer=0, seed=3, repeat=True,
+    )
+    it = iter(stream)
+    e1 = [int(next(it)["idx"][0]) for _ in range(8)]
+    e2 = [int(next(it)["idx"][0]) for _ in range(8)]
+    assert sorted(e1) == sorted(e2) == list(range(8))
+    assert e1 != e2  # shard order changed across epochs
 
 
 def test_repeat_reshuffles_epochs(tmp_path):

@@ -38,10 +38,6 @@ def _expand_c2w(ex_w2c: np.ndarray) -> np.ndarray:
 
 def _model_trajectory(args) -> tuple:
     """Run the model on a scene; returns (pred_c2w, gt_c2w)."""
-    from omnivggt_tpu.utils.platform import ensure_platform
-
-    ensure_platform()
-
     from omnivggt_tpu.config import OmniVGGTConfig, tiny_test_config
     from omnivggt_tpu.data.loader import load_images_and_cameras
     from omnivggt_tpu.models.omnivggt import OmniVGGT
@@ -86,6 +82,14 @@ def main():
     ap.add_argument("--out", help="write a reference-style metrics file")
     ap.add_argument("--plot", help="write a trajectory plot (png)")
     args = ap.parse_args()
+
+    if not args.image_folder:
+        # file-vs-file metrics are pure host math — keep the quaternion
+        # decode (jax) off the single tunneled TPU chip
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from omnivggt_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
 
     from omnivggt_tpu.eval.trajectory import (
         eval_metrics, load_traj, plot_trajectory, pose_auc,

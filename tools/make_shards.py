@@ -15,6 +15,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# pure host-side preprocessing: pin the CPU backend so sample building (the
+# jax-based depth unprojection) never grabs the single tunneled TPU chip
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+from omnivggt_tpu.utils.platform import ensure_platform  # noqa: E402
+
+ensure_platform()
+
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)

@@ -11,10 +11,12 @@ metric logging, and checkpoint save/resume (train/checkpointing.py).
     python tools/train.py --data_root scenes/ --steps 1000 \
         --checkpoint OmniVGGT.safetensors --ckpt_dir runs/ft
 
-    # smoke-run on CPU with the tiny config and an 8-way (2x4) mesh
+    # smoke-run on CPU with the tiny config and a 2-way sequence mesh
+    # (--data_root batches are B=1, so the data axis must be 1 and the seq
+    # axis must divide --views)
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
         python tools/train.py --data_root /root/reference/example --tiny \
-        --steps 3 --views 2 --target_size 28 --mesh 2,4
+        --steps 3 --views 2 --target_size 28 --mesh 1,2
 
     # stream pre-built shards (tools-side: data.streaming.write_shards)
     python tools/train.py --shards 'shards/shard-*.tar' --steps 10000 ...
@@ -80,8 +82,12 @@ def main():
 
     if args.checkpoint:
         from omnivggt_tpu.checkpoint import load_safetensors_params
+        from omnivggt_tpu.models.omnivggt import _certify_bounded_logits
 
         params = load_safetensors_params(args.checkpoint, cfg)
+        # the fixed-max flash softmax must be re-certified against THESE
+        # weights (same check the OmniVGGT loading wrappers apply)
+        cfg = _certify_bounded_logits(cfg, params)
     else:
         params = M.init(jax.random.PRNGKey(args.seed), cfg)
 
@@ -91,6 +97,17 @@ def main():
         from omnivggt_tpu.parallel.sharding import ModelSharding
 
         data_ax, seq_ax = (int(x) for x in args.mesh.split(","))
+        batch_dim = 1 if args.data_root else args.batch
+        if batch_dim % data_ax:
+            raise SystemExit(
+                f"mesh data axis {data_ax} must divide the batch size "
+                f"{batch_dim} (--data_root mode always yields batch 1: "
+                f"use --mesh 1,N)"
+            )
+        if args.views % seq_ax:
+            raise SystemExit(
+                f"mesh seq axis {seq_ax} must divide --views {args.views}"
+            )
         sharding = ModelSharding(make_mesh(data=data_ax, seq=seq_ax))
 
     optimizer = make_finetune_optimizer(
@@ -143,6 +160,7 @@ def main():
         jsonl_path=os.path.join(args.ckpt_dir, "metrics.jsonl")
     )
     t0 = time.perf_counter()
+    last_logged = start
     for step, batch in zip(range(start, args.steps), batches):
         if sharding is not None:
             from omnivggt_tpu.parallel.mesh import shard_batch
@@ -151,8 +169,8 @@ def main():
         state, metrics = train_step(state, batch)
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             metrics = {k: float(v) for k, v in metrics.items()}
-            dt = (time.perf_counter() - t0) / args.log_every
-            t0 = time.perf_counter()
+            dt = (time.perf_counter() - t0) / (step + 1 - last_logged)
+            t0, last_logged = time.perf_counter(), step + 1
             logger.update(step=step + 1, sec_per_step=round(dt, 3), **metrics)
             print(f"step {step + 1}: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in sorted(metrics.items())
