@@ -52,11 +52,21 @@ def run_one(mode: str):
         np.random.default_rng(0).uniform(size=(1, S, H, W, 3)).astype(np.float32)
     )
     preds = jax.jit(lambda p, x: M.apply(p, x, cfg))(params, imgs)
-    np.savez(
-        OUT.format(mode=mode),
-        **{k: np.asarray(v, np.float32) for k, v in preds.items()
-           if hasattr(v, "ndim")},
-    )
+    out = {k: np.asarray(v, np.float32) for k, v in preds.items()
+           if hasattr(v, "ndim")}
+
+    # gradient path: the fused Pallas flash backward (dq/dkv kernels) only
+    # runs on real TPU — cross-check a full-model input gradient too
+    def loss(p, x):
+        pr = M.apply(p, x, cfg)
+        return (
+            jnp.sum(pr["pose_enc"].astype(jnp.float32) ** 2)
+            + jnp.mean(pr["depth"].astype(jnp.float32) ** 2)
+        )
+
+    g = jax.jit(jax.grad(loss, argnums=1))(params, imgs)
+    out["grad_images"] = np.asarray(g, np.float32)
+    np.savez(OUT.format(mode=mode), **out)
     print(f"{mode}: {jax.devices()}")
 
 
