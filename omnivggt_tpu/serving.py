@@ -46,11 +46,17 @@ class InferenceSession:
 
     def __init__(self, model=None, config=None, params=None,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, sharding=None,
-                 pad_mode: str = "bucket"):
+                 pad_mode: str = "bucket", compress_trunk: bool = False):
         from omnivggt_tpu.models.omnivggt import OmniVGGT
 
         if model is None:
             model = OmniVGGT(config) if params is None else OmniVGGT(config, params)
+        if compress_trunk:
+            # bf16 trunk weight storage: ~half the trunk HBM footprint for
+            # <= ~1e-5 output delta — see checkpoint.cast_trunk_params
+            from omnivggt_tpu.checkpoint import cast_trunk_params
+
+            model = OmniVGGT(model.config, cast_trunk_params(model.params))
         if pad_mode not in ("exact", "bucket"):
             raise ValueError(f"pad_mode must be 'exact' or 'bucket', got {pad_mode}")
         if (

@@ -250,6 +250,40 @@ def test_http_glb_endpoint_and_auth():
         httpd.shutdown()
 
 
+def test_compressed_trunk_matches_within_tolerance():
+    """bf16 trunk weight storage barely changes inference: the trunk casts
+    every weight to the bf16 activation dtype at use; the only deltas come
+    from XLA's allow-excess-precision folding of the convert chains
+    (<= ~1e-5, see checkpoint.cast_trunk_params)."""
+    model = OmniVGGT(tiny_test_config())
+    plain = InferenceSession(model, buckets=(2,), pad_mode="exact")
+    compressed = InferenceSession(
+        model, buckets=(2,), pad_mode="exact", compress_trunk=True
+    )
+    import jax.numpy as jnp
+
+    agg = compressed.model.params["aggregator"]
+    assert agg["frame_blocks"]["attn"]["qkv"]["w"].dtype == jnp.bfloat16
+    assert agg["patch_embed"]["proj"]["w"].dtype == jnp.bfloat16
+    # LayerNorm params are consumed at fp32 and must stay fp32
+    assert agg["frame_blocks"]["norm1"]["scale"].dtype == jnp.float32
+    if "q_norm" in agg["frame_blocks"]["attn"]:
+        assert (
+            agg["frame_blocks"]["attn"]["q_norm"]["scale"].dtype == jnp.float32
+        )
+
+    rng = np.random.default_rng(11)
+    imgs = rng.uniform(size=(2, 28, 28, 3)).astype(np.float32)
+    a = plain.infer(imgs)
+    b = compressed.infer(imgs)
+    for k in a:
+        # the camera head's 4-iteration nonlinear refinement amplifies the
+        # ~1e-5 trunk delta under RANDOM weights (chaotic feedback); dense
+        # outputs see the raw delta
+        tol = 2e-2 if k.startswith("pose_enc") else 1e-4
+        np.testing.assert_allclose(a[k], b[k], atol=tol, rtol=tol, err_msg=k)
+
+
 def test_bucket_mode_rejects_ring_sharding():
     """Ring strategies cannot mask padded frames; bucket mode must refuse them
     at construction instead of crashing at trace time."""
