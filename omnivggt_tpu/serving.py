@@ -473,7 +473,10 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
 
     httpd = ThreadingTCPServer(("0.0.0.0", port), Handler)
     httpd.daemon_threads = True
-    print(f"inference server on :{port} (POST /infer, GET /healthz)")
+    print(
+        f"inference server on :{httpd.server_address[1]} "
+        "(POST /infer, POST /infer_glb, GET /healthz)"
+    )
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
