@@ -20,7 +20,9 @@ ours / reference. If the file is absent, vs_baseline is null.
 
 Env knobs: BENCH_VIEWS (default 8) headline frame count, BENCH_ITERS (3),
 BENCH_SWEEP=0 to skip the S=64 point, BENCH_HEAD_DTYPE=bfloat16 to bench the
-faster approximate-heads mode.
+faster approximate-heads mode, BENCH_COMPRESS=0 to keep fp32 trunk weight
+storage (default is the serving configuration: bf16-stored trunk weights,
+checkpoint.cast_trunk_params — <= ~1e-5 output delta, +2% throughput).
 """
 
 import json
@@ -78,6 +80,10 @@ def main():
     )
 
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_COMPRESS", "1") != "0":
+        from omnivggt_tpu.checkpoint import cast_trunk_params
+
+        params = cast_trunk_params(params)
     jax.block_until_ready(params)
 
     @jax.jit

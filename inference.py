@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--no_viewer", action="store_true", help="skip the interactive viewer")
     p.add_argument("--tiny", action="store_true",
                    help="tiny random-weight config (CPU smoke testing)")
+    p.add_argument("--compress_trunk", action="store_true",
+                   help="store trunk weights in bf16 (~half the HBM, "
+                        "<= ~1e-5 output delta; checkpoint.cast_trunk_params)")
     return p.parse_args()
 
 
@@ -75,6 +78,11 @@ def main():
             "(outputs are structurally valid but not meaningful)."
         )
         model = OmniVGGT(OmniVGGTConfig())
+
+    if args.compress_trunk:
+        from omnivggt_tpu.checkpoint import cast_trunk_params
+
+        model = OmniVGGT(model.config, cast_trunk_params(model.params))
 
     images, extrinsics, intrinsics, depths, masks, depth_idx, camera_idx = (
         load_images_and_cameras(
