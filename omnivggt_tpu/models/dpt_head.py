@@ -231,14 +231,20 @@ def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
 
 
 def apply(params, aggregated_tokens, cfg: DPTHeadConfig, images_hw, patch_start_idx: int,
-          layer_slots):
+          layer_slots, dtype=jnp.float32):
     """Run the DPT head.
 
     Args:
-        aggregated_tokens: (L, B, S, P, dim_in) materialised aggregator layers.
+        aggregated_tokens: (L, B, S, P, dim_in) materialised aggregator
+            layers, in any dtype — typically the bf16 trunk buffer; each
+            frame chunk is upcast to `dtype` right before its compute, so
+            the full-buffer fp32 copy (multi-GB at large S) never
+            materialises while the head math stays fp32.
         layer_slots: indices into L for the 4 levels this head consumes
             (mapping of cfg.intermediate_layer_idx into the buffer).
         images_hw: (H, W) of the input images.
+        dtype: head compute dtype (the reference runs heads fp32,
+            omnivggt.py:45).
 
     Returns:
         (preds, conf): (B, S, H, W, output_dim - 1) and (B, S, H, W), or
@@ -257,7 +263,7 @@ def apply(params, aggregated_tokens, cfg: DPTHeadConfig, images_hw, patch_start_
     chunk, pad, n_chunks = _chunking(K, cfg.frames_chunk_size)
 
     def run_chunk(t4):
-        return _forward_frames(params, t4, cfg, (ph, pw), (H, W))
+        return _forward_frames(params, t4.astype(dtype), cfg, (ph, pw), (H, W))
 
     if n_chunks == 1:
         out = run_chunk(toks)

@@ -97,13 +97,15 @@ def apply(
         num_valid_frames=num_valid_frames,
         allow_bounded=cfg.bounded_attn_logits,
     )
-    tokens_buf = tokens_buf.astype(cfg.heads_dtype)
+    # the buffer stays in the bf16 trunk dtype; each head upcasts the slice
+    # (or frame chunk) it consumes — materialising the whole buffer at fp32
+    # costs multi-GB at large S for zero precision (the values ARE bf16)
     slot = {l: i for i, l in enumerate(out_layers)}
 
     predictions = {}
     pose_enc_list = chead.apply(
         params["camera_head"],
-        tokens_buf[slot[cfg.aggregator.depth - 1]],
+        tokens_buf[slot[cfg.aggregator.depth - 1]].astype(cfg.heads_dtype),
         cfg.camera_head,
         num_valid_frames=num_valid_frames,
     )
@@ -117,6 +119,7 @@ def apply(
         (H, W),
         patch_start_idx,
         tuple(slot[l] for l in cfg.depth_head.intermediate_layer_idx),
+        dtype=cfg.heads_dtype,
     )
     predictions["depth"] = depth
     predictions["depth_conf"] = depth_conf
@@ -128,6 +131,7 @@ def apply(
         (H, W),
         patch_start_idx,
         tuple(slot[l] for l in cfg.point_head.intermediate_layer_idx),
+        dtype=cfg.heads_dtype,
     )
     predictions["world_points"] = pts3d
     predictions["world_points_conf"] = pts3d_conf
