@@ -50,9 +50,24 @@ def init(key, cfg: DinoV2Config):
     return params
 
 
-def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarray:
+def interpolate_pos_embed(
+    pos_embed: jnp.ndarray, grid_h: int, grid_w: int,
+    antialias: bool = True, offset: float = 0.0,
+) -> jnp.ndarray:
     """Resample the (1, 1+M*M, D) learned pos embed to a (grid_h, grid_w) patch
-    grid with torch bicubic antialias semantics; cls entry passes through."""
+    grid with torch bicubic semantics; cls entry passes through.
+
+    The reference exposes a historical `interpolate_offset` kludge
+    (vision_transformer.py:180-212: scale factors of (g + offset) / M fed to
+    F.interpolate via scale_factor). The checkpointed OmniVGGT backbone uses
+    offset 0 (models/aggregator.py:156-157); a nonzero offset is refused
+    loudly here rather than silently resampling with different semantics."""
+    if offset:
+        raise NotImplementedError(
+            "interpolate_offset != 0 (the reference's historical "
+            "scale-factor kludge) is not implemented; the OmniVGGT "
+            "checkpoint uses offset 0"
+        )
     n = pos_embed.shape[1] - 1
     if grid_h * grid_w == n and grid_h == grid_w:
         return pos_embed
@@ -61,7 +76,8 @@ def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int) -> j
     cls_pe = pos_embed[:, :1]
     patch_pe = pos_embed[:, 1:].reshape(1, M, M, -1)
     patch_pe = interpolate(
-        patch_pe, (grid_h, grid_w), mode="bicubic", align_corners=False, antialias=True
+        patch_pe, (grid_h, grid_w), mode="bicubic", align_corners=False,
+        antialias=antialias,
     )
     patch_pe = patch_pe.reshape(1, grid_h * grid_w, -1)
     return jnp.concatenate([cls_pe, patch_pe], axis=1)
@@ -77,7 +93,10 @@ def apply(params, images: jnp.ndarray, cfg: DinoV2Config, *, attn_impl: str = "a
     x = L.patch_embed(params["patch_embed"], images, cfg.patch_size)  # (B, N, D)
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (B, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + interpolate_pos_embed(params["pos_embed"], gh, gw).astype(dtype)
+    x = x + interpolate_pos_embed(
+        params["pos_embed"], gh, gw,
+        antialias=cfg.interpolate_antialias, offset=cfg.interpolate_offset,
+    ).astype(dtype)
 
     if "register_tokens" in params:
         reg = jnp.broadcast_to(

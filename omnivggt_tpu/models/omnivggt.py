@@ -153,10 +153,21 @@ def make_aux(
     (omnivggt.py:20-28 call signature)."""
     cam_mask = None
     if camera_gt_index is not None and len(camera_gt_index) > 0:
+        if extrinsics is None or intrinsics is None:
+            raise ValueError(
+                "camera_gt_index requires extrinsics and intrinsics "
+                "(frames marked as having camera GT but no camera arrays "
+                "were given)"
+            )
         cam_mask = np.zeros((S,), bool)
         cam_mask[np.asarray(camera_gt_index)] = True
     d_mask = None
     if depth_gt_index is not None and len(depth_gt_index) > 0:
+        if depth is None:
+            raise ValueError(
+                "depth_gt_index requires a depth array (frames marked as "
+                "having depth GT but no depth was given)"
+            )
         d_mask = np.zeros((S,), bool)
         d_mask[np.asarray(depth_gt_index)] = True
     if cam_mask is None and d_mask is None:

@@ -131,14 +131,14 @@ def scaled_dot_product_attention(
     if impl == "auto":
         rows = q.shape[0] * q.shape[2]
         on_tpu = jax.default_backend() == "tpu"
+        # on TPU this covers every long sequence: N > _XLA_MAX_SEQ implies
+        # N >= _FLASH_MIN_SEQ and satisfies the rows-or-length condition
         if on_tpu and N >= _FLASH_MIN_SEQ and (
             rows <= _FLASH_MAX_ROWS or N > _XLA_MAX_SEQ
         ):
             impl = "flash"
         elif N <= _XLA_MAX_SEQ:
             impl = "xla"
-        elif on_tpu:
-            impl = "flash"
         else:
             impl = "blockwise"
 

@@ -180,6 +180,13 @@ def _flash_kernel(
             lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
+def to_bhnd(x):
+    """(B, N, H, D) -> (B*H, N, D): the head-major layout every Pallas
+    attention kernel here runs on (contiguous per-head rows)."""
+    B, N, H, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+
+
 def _flash_forward(
     q, k, v, block_q, block_k, kv_valid=None, return_lse=False,
     bounded=False,
@@ -187,10 +194,6 @@ def _flash_forward(
     B, N, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5
-
-    # (B, N, H, D) -> (B*H, N, D)
-    def to_bhnd(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
 
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
 
@@ -318,18 +321,25 @@ def _pick_block(n: int, default: int, align: int) -> int:
 
 def _bwd_recompute(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, *, scale, n_keys,
-    block_k, key_block_idx
+    block_k, key_block_idx, bounded=False
 ):
     """Shared backward recompute: returns (p, ds), both (block_q, block_k)
     fp32, where p = softmax(scale * q k^T) rebuilt from the saved LSE and
     ds = p * (dP - delta) with dP = dO v^T, delta = rowsum(dO * O). LSE is
     stored sublane-oriented ((bq, 8) tiles, column 0), so the per-row
-    broadcasts need no relayout."""
+    broadcasts need no relayout.
+
+    bounded: mirror the forward's saturation clamp so p matches the forward
+    exactly; without it, weights drifting past the logit bound would keep
+    the forward finite (clamped) while exp(s - lse) overflows here and turns
+    the gradients NaN. The clamp region gets straight-through gradients."""
     q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)
     s = jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, bk)
+    if bounded:
+        s = jnp.minimum(s, _BOUNDED_CLAMP)
     if n_keys % block_k != 0:
         # zero-padded keys must contribute p=0 to dq (their own dk/dv rows
         # are sliced off by the caller)
@@ -353,7 +363,7 @@ def _bwd_recompute(
 
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, acc_scr,
-    *, scale, n_keys, block_k
+    *, scale, n_keys, block_k, bounded
 ):
     """Grid (BH, q_blocks, k_blocks), k innermost: dq[qi] = scale * sum_ki
     ds @ k."""
@@ -367,6 +377,7 @@ def _flash_bwd_dq_kernel(
     _, ds = _bwd_recompute(
         q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         scale=scale, n_keys=n_keys, block_k=block_k, key_block_idx=ki,
+        bounded=bounded,
     )
     acc_scr[:] += jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
@@ -380,7 +391,7 @@ def _flash_bwd_dq_kernel(
 
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr, *, scale, n_keys, block_k
+    dk_scr, dv_scr, *, scale, n_keys, block_k, bounded
 ):
     """Grid (BH, k_blocks, q_blocks), q innermost: dv[ki] = sum_qi p^T @ dO,
     dk[ki] = scale * sum_qi ds^T @ q (MXU contracts the sublane dim natively).
@@ -398,6 +409,7 @@ def _flash_bwd_dkv_kernel(
         q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         scale=scale, n_keys=n_keys, block_k=block_k,
         key_block_idx=pl.program_id(1),
+        bounded=bounded,
     )
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -414,14 +426,11 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, do, lse, block_q, block_k):
+def _flash_backward(q, k, v, o, do, lse, block_q, block_k, bounded=False):
     """Fused flash-attention backward: (dq, dk, dv) in the input layout."""
     B, N, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5
-
-    def to_bhnd(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
 
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
     dof, of = to_bhnd(do), to_bhnd(o)
@@ -453,7 +462,8 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k):
 
     dq = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dq_kernel, scale=scale, n_keys=Nk, block_k=block_k
+            _flash_bwd_dq_kernel, scale=scale, n_keys=Nk, block_k=block_k,
+            bounded=bounded,
         ),
         grid=(BH, nq, nk),
         in_specs=[q_spec, k_spec_q, k_spec_q, q_spec, q_spec, row_spec],
@@ -472,7 +482,8 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k):
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, scale=scale, n_keys=Nk, block_k=block_k
+            _flash_bwd_dkv_kernel, scale=scale, n_keys=Nk, block_k=block_k,
+            bounded=bounded,
         ),
         grid=(BH, nk, nq),
         in_specs=[
@@ -539,7 +550,7 @@ def _bwd(block_q, block_k, bounded, res, g):
     # the backward rebuilds p = exp(s - lse) from the saved LSE, which is
     # max-convention-agnostic — bounded forward needs no backward changes
     q, k, v, o, lse = res
-    return _flash_backward(q, k, v, o, g, lse, block_q, block_k)
+    return _flash_backward(q, k, v, o, g, lse, block_q, block_k, bounded)
 
 
 _flash_unmasked.defvjp(_fwd, _bwd)

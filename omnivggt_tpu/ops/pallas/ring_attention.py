@@ -40,6 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from omnivggt_tpu.ops.pallas.flash_attention import _round_up, to_bhnd as _to_bhnd_global
+
 _NEG_INF = -1e30
 # bounded-logits insurance clamp (see ops/pallas/flash_attention.py)
 _BOUNDED_CLAMP = 80.0
@@ -401,8 +403,7 @@ def ring_flash_attention_hbm(
     B, N, H, D = q.shape
     n_dev = mesh.shape[seq_axis]
     nl = N // n_dev
-    lcm = math.lcm(block_q, block_k)
-    nl_pad = -(-nl // lcm) * lcm
+    nl_pad = _round_up(nl, math.lcm(block_q, block_k))
     if nl_pad > MAX_LOCAL_SEQ_HBM:
         raise ValueError(
             f"per-device sequence {nl} (padded {nl_pad}) exceeds the "
@@ -415,13 +416,13 @@ def ring_flash_attention_hbm(
     spec = P(None, seq_axis, None, None)
 
     def per_device(q, k, v):
-        def to_bhnd(x):
-            x = x.transpose(0, 2, 1, 3).reshape(B * H, nl, D)
+        def prep(x):
+            x = _to_bhnd_global(x)
             if nl_pad > nl:
                 x = jnp.pad(x, ((0, 0), (0, nl_pad - nl), (0, 0)))
             return x
 
-        qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+        qf, kf, vf = prep(q), prep(k), prep(v)
         out = pl.pallas_call(
             functools.partial(
                 _ring_hbm_kernel,
@@ -509,24 +510,19 @@ def ring_flash_attention(
             interpret=interpret, handshake=handshake,
             bounded_logits=bounded_logits,
         )
+    # vmem_ok above already guarantees these divisibilities
     chunk = min(chunk_q, nl)
     block_q = min(block_q, chunk)
     block_k = min(block_k, nl)
-    if nl % chunk or chunk % block_q or nl % block_k:
-        raise ValueError(
-            f"local length {nl} not divisible by chunk {chunk} / blocks"
-        )
     scale = D**-0.5
     if handshake is None:
         handshake = not interpret
     spec = P(None, seq_axis, None, None)
 
     def per_device(q, k, v):
-        # (B, nl, H, D) -> (B*H, nl, D)
-        def to_bhnd(x):
-            return x.transpose(0, 2, 1, 3).reshape(B * H, nl, D)
-
-        qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+        qf, kf, vf = (
+            _to_bhnd_global(q), _to_bhnd_global(k), _to_bhnd_global(v)
+        )
         out = pl.pallas_call(
             functools.partial(
                 _ring_kernel,
