@@ -259,19 +259,27 @@ class InferenceSession:
         )
         return self._execute([req])[0]
 
-    def infer_batch(self, requests: List[dict]) -> List[Dict[str, np.ndarray]]:
+    def infer_batch(
+        self, requests: List[dict], max_batch: int = 8
+    ) -> List[Dict[str, np.ndarray]]:
         """Run several scenes, stacking compatible ones (same frame count,
         resolution, and modality layout) into shared batched forwards.
-        Each request is a kwargs dict for `infer`. Results keep order."""
+        Each request is a kwargs dict for `infer`. Results keep order.
+
+        Groups are chunked to at most `max_batch` scenes per dispatch —
+        every distinct batch size is its own compilation, so unbounded
+        stacking would compile an executable per request count."""
         prepared = [self._prepare(**r) for r in requests]
         groups: Dict[tuple, List[int]] = {}
         for i, p in enumerate(prepared):
             groups.setdefault(p["key"], []).append(i)
         results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(requests)
         for idxs in groups.values():
-            outs = self._execute([prepared[i] for i in idxs])
-            for i, out in zip(idxs, outs):
-                results[i] = out
+            for i0 in range(0, len(idxs), max_batch):
+                chunk = idxs[i0:i0 + max_batch]
+                outs = self._execute([prepared[i] for i in chunk])
+                for i, out in zip(chunk, outs):
+                    results[i] = out
         return results
 
 
