@@ -329,7 +329,10 @@ def process_directory(directory: str):
     for root, _, files in os.walk(directory):
         for file in sorted(files):
             if file.endswith("_metric.txt"):
-                seq = file.replace("_eval_metric.txt", "")
+                # strip whichever metric suffix the file actually carries
+                seq = file[: -len("_eval_metric.txt")] if file.endswith(
+                    "_eval_metric.txt"
+                ) else file[: -len("_metric.txt")]
                 results.append(
                     (seq, *extract_metrics(os.path.join(root, file)))
                 )

@@ -112,9 +112,13 @@ def ring_attention(
                 jax.lax.ppermute(v_cur, seq_axis, perm),
             )
 
-        def step(carry, _):
-            m_prev, d_prev, acc_prev, k_cur, v_cur = carry
+        def update(m_prev, d_prev, acc_prev, k_cur, v_cur):
             s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_cur.astype(jnp.float32))
+            if bounded_logits:
+                p = jnp.exp(jnp.minimum(s, 80.0))
+                return None, d_prev + jnp.sum(p, axis=-1), acc_prev + jnp.einsum(
+                    "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
+                )
             m_blk = jnp.max(s, axis=-1)
             m_new = jnp.maximum(m_prev, m_blk)
             p = jnp.exp(s - m_new[..., None])
@@ -123,31 +127,30 @@ def ring_attention(
             acc_new = acc_prev * corr[..., None] + jnp.einsum(
                 "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
             )
+            return m_new, d_new, acc_new
+
+        def step(carry, _):
+            m_prev, d_prev, acc_prev, k_cur, v_cur = carry
+            m_new, d_new, acc_new = update(m_prev, d_prev, acc_prev, k_cur, v_cur)
+            # rotate inside the scan (the final shard's rotation is skipped
+            # by scanning n_dev - 1 steps and finishing outside)
             k_nxt, v_nxt = rotate(k_cur, v_cur)
             return (m_new, d_new, acc_new, k_nxt, v_nxt), None
 
-        def step_bounded(carry, _):
-            d_prev, acc_prev, k_cur, v_cur = carry
-            s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_cur.astype(jnp.float32))
-            p = jnp.exp(jnp.minimum(s, 80.0))
-            d_new = d_prev + jnp.sum(p, axis=-1)
-            acc_new = acc_prev + jnp.einsum(
-                "bhqk,bkhd->bhqd", p, v_cur.astype(jnp.float32)
-            )
-            k_nxt, v_nxt = rotate(k_cur, v_cur)
-            return (d_new, acc_new, k_nxt, v_nxt), None
-
+        m0 = (
+            None if bounded_logits
+            else jnp.full((B, H, Nq), -jnp.inf, jnp.float32)
+        )
         d0 = jnp.zeros((B, H, Nq), jnp.float32)
         acc0 = jnp.zeros((B, H, Nq, D), jnp.float32)
-        if bounded_logits:
-            (d, acc, _, _), _ = jax.lax.scan(
-                step_bounded, (d0, acc0, k, v), None, length=n_dev
+        if n_dev > 1:
+            (m, d, acc, k_last, v_last), _ = jax.lax.scan(
+                step, (m0, d0, acc0, k, v), None, length=n_dev - 1
             )
         else:
-            m0 = jnp.full((B, H, Nq), -jnp.inf, jnp.float32)
-            (m, d, acc, _, _), _ = jax.lax.scan(
-                step, (m0, d0, acc0, k, v), None, length=n_dev
-            )
+            m, d, acc, k_last, v_last = m0, d0, acc0, k, v
+        # final shard: no rotation — its result would be discarded
+        _, d, acc = update(m, d, acc, k_last, v_last)
         out = acc / d[..., None]
         return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 

@@ -51,11 +51,18 @@ def make_mesh(
 
 
 def multihost_initialize(**kwargs) -> None:
-    """jax.distributed bring-up for multi-host slices (no-op if single)."""
+    """jax.distributed bring-up for multi-host slices.
+
+    Only 'already initialised' is tolerated; a genuine bring-up failure
+    (bad coordinator address, firewalled port) must raise — swallowing it
+    would silently degrade an 8-host job to independent single-host
+    processes each training 1/8th of the intended mesh."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialised or single-process
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return
+        raise
 
 
 def frames_sharding(mesh: Mesh) -> NamedSharding:

@@ -88,23 +88,27 @@ class MetricLogger:
 
     def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
         """Yield from iterable, printing smoothed meters + ETA every
-        print_freq steps."""
+        print_freq steps. Streams lazily: an unsized (or infinite) iterable
+        is consumed one item at a time — ETA is simply omitted."""
         i = 0
-        iterable = list(iterable) if not hasattr(iterable, "__len__") else iterable
-        n = len(iterable)
+        n = len(iterable) if hasattr(iterable, "__len__") else None
         start = time.time()
         iter_time = SmoothedValue(fmt="{avg:.4f}")
         t0 = time.time()
         for obj in iterable:
             yield obj
             iter_time.update(time.time() - t0)
-            if i % print_freq == 0 or i == n - 1:
-                eta = iter_time.global_avg * (n - i)
-                print(
-                    f"{header} [{i}/{n}] eta: {eta:.0f}s {self} "
-                    f"time: {iter_time}"
-                )
+            if i % print_freq == 0 or (n is not None and i == n - 1):
+                if n is not None:
+                    eta = iter_time.global_avg * (n - i)
+                    progress = f"[{i}/{n}] eta: {eta:.0f}s"
+                else:
+                    progress = f"[{i}]"
+                print(f"{header} {progress} {self} time: {iter_time}")
             t0 = time.time()
             i += 1
         total = time.time() - start
-        print(f"{header} Total time: {total:.1f}s ({total / max(n,1):.4f} s/it)")
+        print(
+            f"{header} Total time: {total:.1f}s "
+            f"({total / max(i, 1):.4f} s/it)"
+        )

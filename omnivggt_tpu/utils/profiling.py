@@ -39,24 +39,60 @@ def force(tree):
     return jax.tree.map(lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
 
 
+class _Section:
+    """Handle yielded by Timer.section: call .set(out) with the block's
+    device outputs so the timer can force them before stopping the clock —
+    a `result=` passed at context ENTRY cannot reference values the block
+    hasn't produced yet, and timing without forcing measures dispatch only
+    on this tunneled backend."""
+
+    def __init__(self):
+        self.value = None
+
+    def set(self, value):
+        self.value = value
+        return value
+
+
 class Timer:
-    """Accumulating named wall-clock timers."""
+    """Accumulating named wall-clock timers.
+
+        t = Timer()
+        with t.section("fwd") as s:
+            s.set(jit_f(x))     # forced (host-materialised) before the stop
+        print(t.report())
+    """
 
     def __init__(self):
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
 
     @contextlib.contextmanager
-    def section(self, name: str, result=None):
+    def section(self, name: str):
         t0 = time.perf_counter()
+        handle = _Section()
         try:
-            yield
+            yield handle
         finally:
-            if result is not None:
-                force(result)
+            if handle.value is not None:
+                force(handle.value)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
+
+
+@contextlib.contextmanager
+def timed(name: str):
+    """One-off timed block printing '<name>: X ms'; yields a _Section whose
+    .set(out) forces device outputs before the clock stops."""
+    t0 = time.perf_counter()
+    handle = _Section()
+    try:
+        yield handle
+    finally:
+        if handle.value is not None:
+            force(handle.value)
+        print(f"{name}: {(time.perf_counter() - t0) * 1000:.1f} ms")
 
     def report(self) -> str:
         lines = []

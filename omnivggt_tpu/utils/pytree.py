@@ -50,8 +50,16 @@ def collate_with_cat(whatever, lists: bool = False):
             arrs = [np.asarray(x) for x in whatever]
             if lists:
                 return arrs
-            if arrs[0].ndim and all(a.shape == arrs[0].shape for a in arrs):
-                return np.concatenate(arrs, axis=0) if arrs[0].ndim else np.stack(arrs)
+            # reference torch.cat semantics (device.py:47-73): batched arrays
+            # concatenate along dim 0 even when leading dims differ (variable
+            # view counts); only trailing-shape mismatches stay a list
+            if arrs[0].ndim and all(
+                a.ndim == arrs[0].ndim and a.shape[1:] == arrs[0].shape[1:]
+                for a in arrs
+            ):
+                return np.concatenate(arrs, axis=0)
+            if not arrs[0].ndim and all(a.shape == () for a in arrs):
+                return np.stack(arrs)
             return arrs
         if isinstance(first, (tuple, list)):
             return type(first)(
@@ -70,8 +78,10 @@ def select_first_batch(inputs: dict, dtype=None) -> dict:
     }
     out = {}
     for key, value in inputs.items():
-        if key == "pose_enc_list" and isinstance(value, (list, jax.Array)):
-            value = value[-1]
+        if key == "pose_enc_list" and (
+            isinstance(value, list) or _is_array(value)
+        ):
+            value = value[-1]  # last iterate, any container (list/jax/numpy)
             key = "pose_enc"
         if _is_array(value) and key in keys:
             value = np.asarray(value[:1])

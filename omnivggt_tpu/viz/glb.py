@@ -276,7 +276,13 @@ def predictions_to_glb_data(
     if mask_sky and image_folder is not None:
         from omnivggt_tpu.viz.sky import sky_masks_for_folder
 
-        sky = sky_masks_for_folder(image_folder, conf.shape[-2:], cache_dir=target_dir)
+        # the folder can hold more stills than were processed — mask only the
+        # S frames in the predictions (reference visual_util.py:654 slices
+        # image_files[:S] the same way)
+        sky = sky_masks_for_folder(
+            image_folder, conf.shape[-2:], cache_dir=target_dir,
+            limit=conf.shape[0],
+        )
         conf = conf * (sky > 0.1).astype(np.float32)
 
     if selected_frame_idx is not None:

@@ -144,7 +144,11 @@ def segment_sky_hsv_cc(image: np.ndarray) -> np.ndarray:
         img = np.uint8(255 * img.clip(min=0, max=1))
     hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
 
-    mask = cv2.inRange(hsv, np.array([90, 0, 100]), np.array([150, 255, 255])).astype(bool)
+    # the reference converts its RGB array with COLOR_BGR2HSV (channels
+    # swapped, viz.py:365) and thresholds swapped-hue [0, 30]; swapping R<->B
+    # reflects hue about 120 on OpenCV's 0-180 scale, so the equivalent range
+    # on a correctly-converted image is real hue [90, 120]
+    mask = cv2.inRange(hsv, np.array([90, 0, 100]), np.array([120, 255, 255])).astype(bool)
     mask |= (hsv[:, :, 1] < 10) & (hsv[:, :, 2] > 150)
     mask |= (hsv[:, :, 1] < 30) & (hsv[:, :, 2] > 180)
     mask |= (hsv[:, :, 1] < 50) & (hsv[:, :, 2] > 220)

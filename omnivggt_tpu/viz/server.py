@@ -248,7 +248,7 @@ def serve_scene(
 
     httpd = socketserver.ThreadingTCPServer(("0.0.0.0", port), Handler)
     httpd.daemon_threads = True
-    print(f"viewer running at http://localhost:{port}")
+    print(f"viewer running at http://localhost:{httpd.server_address[1]}")
     if background_mode:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()

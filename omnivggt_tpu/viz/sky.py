@@ -78,11 +78,14 @@ def _get_onnx_session():
 
 
 def sky_masks_for_folder(
-    image_folder: str, target_hw: Tuple[int, int], cache_dir: Optional[str] = None
+    image_folder: str, target_hw: Tuple[int, int],
+    cache_dir: Optional[str] = None, limit: Optional[int] = None,
 ) -> np.ndarray:
     """(S, H, W) float array of masks (255 = non-sky) for the sorted images in
     `image_folder`, resized to target_hw, cached as PNGs under
-    `{cache_dir}/sky_masks/`."""
+    `{cache_dir}/sky_masks/`. `limit` masks only the first S images — the
+    folder can hold more stills than the predictions cover (the reference
+    slices image_files[:S] the same way, visual_util.py:654)."""
     import cv2
 
     H, W = target_hw
@@ -90,6 +93,8 @@ def sky_masks_for_folder(
         n for n in os.listdir(image_folder)
         if n.lower().endswith((".png", ".jpg", ".jpeg"))
     )
+    if limit is not None:
+        names = names[:limit]
     session = _get_onnx_session()
     masks = []
     for name in names:
