@@ -113,7 +113,9 @@ def main():
 
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    if os.path.exists(base_path):
+    # the stored torch baseline is an S=8 workload; per-view cost depends on
+    # S (global attention is O(S^2)), so the ratio is only meaningful there
+    if os.path.exists(base_path) and S == 8:
         with open(base_path) as f:
             base = json.load(f)
         if base.get("views_per_sec"):

@@ -50,6 +50,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.target_size % 14:
+        raise SystemExit(
+            f"--target_size must be a multiple of the 14-px patch "
+            f"(got {args.target_size}; nearest: "
+            f"{round(args.target_size / 14) * 14})"
+        )
 
     from omnivggt_tpu.utils.platform import ensure_platform
 

@@ -61,6 +61,7 @@ class SceneDataset:
         depth_keep_prob: float = 0.5,
         augment=None,
         seed: int = 0,
+        cache_scenes: int = 16,
     ):
         from omnivggt_tpu.data.formats import (
             is_co3d_sequence, is_scannet_scene, load_scene,
@@ -91,17 +92,21 @@ class SceneDataset:
             self.scene_dirs.insert(0, root)  # root itself is a scene
         if not self.scene_dirs:
             raise ValueError(f"no scene folders under {root}")
+        # preprocessed scenes are hundreds of MB each at 518 px; bound the
+        # cache (LRU) so large training roots don't accumulate every scene
+        # in host RAM. For corpora past this scale, preprocess into
+        # streaming shards instead (data/streaming.py).
+        self.cache_scenes = max(1, cache_scenes)
         self._cache = {}
 
-    @staticmethod
-    def _opt(scene: str, sub: str) -> Optional[str]:
-        p = os.path.join(scene, sub)
-        return p if os.path.isdir(p) else None
-
     def _scene(self, idx: int):
-        if idx not in self._cache:
+        if idx in self._cache:
+            self._cache[idx] = self._cache.pop(idx)  # refresh LRU order
+        else:
             from omnivggt_tpu.data.view_selection import compute_ranking
 
+            while len(self._cache) >= self.cache_scenes:
+                self._cache.pop(next(iter(self._cache)))
             images, ex, K, depths, masks, d_idx, c_idx = self._load(
                 self.scene_dirs[idx]
             )

@@ -109,6 +109,10 @@ def load_images_and_cameras(
 
     image_paths = sorted(glob.glob(os.path.join(image_folder, "*")))
     image_paths = [p for p in image_paths if p.lower().endswith((".png", ".jpg", ".jpeg"))]
+    if not image_paths:
+        raise ValueError(
+            f"no .png/.jpg/.jpeg images found under {image_folder!r}"
+        )
 
     imgs, extrinsics_l, intrinsics_l, depths_l, masks_l = [], [], [], [], []
     depth_indices: List[int] = []
@@ -193,6 +197,12 @@ def load_and_preprocess_images(image_path_list: List[str], mode: str = "crop") -
             new_width = target_size
             new_height = round(height * (new_width / width) / PATCH) * PATCH
 
+        # NOTE: this resize/round math intentionally duplicates neither
+        # cropping.resize_image_depth_and_intrinsic (the visual_util.py
+        # folder-loader geometry) nor vice versa — the reference ships TWO
+        # loaders with different height rounding (load_fn.py:12-146 uses
+        # round(), visual_util.py:731-747 floors+crops) and each is pinned
+        # by its own parity test.
         img = img.resize((new_width, new_height), Image.Resampling.BICUBIC)
         arr = np.asarray(img, np.float32) / 255.0
 

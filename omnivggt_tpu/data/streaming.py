@@ -200,9 +200,19 @@ def batch_stream(
 
 
 def _default_partition():
-    try:
-        import jax
+    """(process_index, process_count) if a jax backend is ALREADY live,
+    else (0, 1). Never initialises the backend: a data-loading class must
+    not grab the TPU (or freeze the device count) as a side effect."""
+    import sys
 
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return 0, 1
+    try:
+        from jax._src import xla_bridge
+
+        if not xla_bridge.backends_are_initialized():
+            return 0, 1
         return jax.process_index(), jax.process_count()
-    except Exception:  # pragma: no cover — jax uninitialised
+    except Exception:  # pragma: no cover — private-API drift
         return 0, 1

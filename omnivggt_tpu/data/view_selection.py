@@ -69,6 +69,9 @@ def _ranking_impl(extrinsics, lambda_t: float, normalize: bool):
     if normalize:
         centers = extrinsics[:, :3, 3]
         avg_scale = jnp.mean(jnp.linalg.norm(centers, axis=1))
+        # pure-rotation captures have all centres at the origin — dividing
+        # by 0 would NaN every distance and scramble the ranking
+        avg_scale = jnp.where(avg_scale > 0, avg_scale, 1.0)
         extrinsics = extrinsics.at[:, :3, 3].divide(avg_scale)
     dists = pairwise_extrinsic_distance(extrinsics, lambda_t)
     return jnp.argsort(dists, axis=1), dists
