@@ -164,3 +164,64 @@ def test_cli_end_to_end(tmp_path):
     with open(glb, "rb") as f:
         magic, ver, _ = struct.unpack("<III", f.read(12))
     assert magic == 0x46546C67 and ver == 2
+
+
+def test_log_every_streams_unsized_iterables():
+    """Generators (no __len__) stream lazily — the logger must not list()
+    them (infinite loaders would hang, epochs would buffer in RAM)."""
+    from omnivggt_tpu.utils.logging import MetricLogger
+
+    consumed = []
+
+    def gen():
+        for i in range(100000):
+            consumed.append(i)
+            yield i
+
+    ml = MetricLogger()
+    it = ml.log_every(gen(), print_freq=10, header="s")
+    for _, i in zip(range(3), it):
+        pass
+    # lazily consumed: only the items we pulled (+ at most one lookahead)
+    assert len(consumed) <= 4
+
+
+def test_collate_with_cat_variable_leading_dims():
+    """torch.cat reference semantics: batched arrays with different view
+    counts concatenate along dim 0 (device.py:47-73)."""
+    import numpy as np
+
+    from omnivggt_tpu.utils.pytree import collate_with_cat
+
+    a = {"images": np.zeros((2, 4, 4, 3)), "n": np.asarray(1.0, np.float32)}
+    b = {"images": np.ones((3, 4, 4, 3)), "n": np.asarray(2.0, np.float32)}
+    out = collate_with_cat([a, b])
+    assert out["images"].shape == (5, 4, 4, 3)
+    assert out["n"].shape == (2,)  # scalars stack
+
+
+def test_select_first_batch_numpy_pose_enc_list():
+    import numpy as np
+
+    from omnivggt_tpu.utils.pytree import select_first_batch
+
+    preds = {
+        "pose_enc_list": np.arange(4 * 2 * 3 * 9, dtype=np.float32).reshape(4, 2, 3, 9),
+        "depth": np.zeros((2, 4, 4, 1)),
+    }
+    out = select_first_batch(preds)
+    assert "pose_enc" in out and "pose_enc_list" not in out
+    np.testing.assert_array_equal(
+        out["pose_enc"], preds["pose_enc_list"][-1][:1]
+    )
+
+
+def test_timer_section_forces_set_result():
+    from omnivggt_tpu.utils.profiling import Timer, timed
+
+    t = Timer()
+    with t.section("x") as s:
+        s.set([1, 2, 3])
+    assert t.counts["x"] == 1 and t.totals["x"] >= 0
+    with timed("y") as s:
+        s.set(None)
