@@ -40,7 +40,7 @@ def _write_scannet(root):
         d_mm = (rng.uniform(500, 3000, size=(H0 // 2, W0 // 2))).astype(
             np.uint16
         )
-        Image.fromarray(d_mm, mode="I;16").save(
+        Image.fromarray(d_mm).save(
             os.path.join(scene, "depth", f"{i}.png")
         )
         c2w = np.eye(4)
@@ -93,7 +93,7 @@ def _write_co3d(root, fmt):
         # CO3D 16-bit depth: float16 bit pattern stored as uint16
         d16 = d.astype(np.float16).view(np.uint16)
         dpath = f"plant/106_12345_6789/depths/frame{i:06d}.png"
-        Image.fromarray(d16, mode="I;16").save(os.path.join(root, dpath))
+        Image.fromarray(d16).save(os.path.join(root, dpath))
 
         # random OpenCV pose; convert to the PyTorch3D annotation convention
         # (the reader must invert this mapping exactly)
