@@ -33,11 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 768  # 896 puts the fp32 score tile ~0.4 MB over the 16 MB
 DEFAULT_BLOCK_K = 2048  # scoped-VMEM limit once the surrounding model is live
 # the backward kernels keep two (block_q, block_k) fp32 score tiles (p and ds)
-# live at once, so block_q stays smaller than the forward's; (512, 2048)
-# measured fastest on the chip at the flagship shape (33.4 ms fwd+bwd vs
-# 34.5 at 1024-wide k blocks) with ~10 MB scoped VMEM — safe margin
+# live at once, so they run at smaller blocks than the forward. (512, 2048)
+# measured fastest standalone (33.4 ms fwd+bwd) but its ~10 MB scoped VMEM
+# OOMs inside a full train graph; 1536 (33.6 ms standalone) keeps the
+# forward-sized ~6 MB tile budget that is known to fit in-model
 DEFAULT_BWD_BLOCK_Q = 512
-DEFAULT_BWD_BLOCK_K = 2048
+DEFAULT_BWD_BLOCK_K = 1536
 _LANES = 128
 # Finite "minus infinity": true -inf scores make the VPU hit special-value
 # slow paths (measured ~40x slowdown on v5e); -1e30 underflows exp to 0 at
