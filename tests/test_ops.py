@@ -149,6 +149,34 @@ def test_flash_attention_bounded_logits():
     assert np.isfinite(out_big).all()
 
 
+def test_flash_attention_edge_shapes():
+    """Odd head counts, tiny heads, and D=128 — the latter disables the
+    ones-column fold (no spare lanes) and exercises the VPU row-sum branch
+    in both standard and bounded modes."""
+    from omnivggt_tpu.ops.pallas import flash_attention as FA
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(17)
+    orig = pl.pallas_call
+    for (B, N, H, D) in [(1, 130, 1, 32), (2, 300, 3, 128)]:
+        q, k, v = [
+            jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+            for _ in range(3)
+        ]
+        ref = np.asarray(_attention_xla(q, k, v))
+        with mock.patch.object(
+            pl, "pallas_call", functools.partial(orig, interpret=True)
+        ):
+            out = np.asarray(FA._flash_forward(q, k, v, 64, 128))
+            out_b = np.asarray(
+                FA._flash_forward(q, k, v, 64, 128, bounded=True)
+            )
+        np.testing.assert_allclose(out, ref, atol=3e-5, err_msg=f"D={D}")
+        np.testing.assert_allclose(out_b, ref, atol=3e-5, err_msg=f"D={D}b")
+
+
 def test_qk_logit_bound_certification():
     """The weight-dependent logit bound that certifies the fixed-max flash
     softmax: ~sqrt(D) at init (unit norm scales, zero biases), and the
