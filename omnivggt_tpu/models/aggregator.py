@@ -198,7 +198,7 @@ def apply(
     dtype=jnp.float32,
     attn_impl: str = "auto",
     sharding=None,
-    remat: bool = False,
+    remat=False,  # False | True/'full' | 'dots' checkpoint policy
     train_rng=None,
     num_valid_frames=None,
     allow_bounded: bool = True,
@@ -412,10 +412,16 @@ def apply(
     if remat:
         # trade FLOPs for memory when training: recompute each layer pair in
         # the backward pass instead of storing its activations (the reference
-        # uses torch checkpointing the same way, omnivggt_aggregator.py:292-298)
-        step = jax.checkpoint(
-            step, policy=jax.checkpoint_policies.nothing_saveable
+        # uses torch checkpointing the same way, omnivggt_aggregator.py:292-298).
+        # remat=True/"full" saves nothing; remat="dots" keeps matmul outputs
+        # (no-batch-dim dots) — more memory, less recompute — for configs
+        # with HBM headroom.
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat == "dots"
+            else jax.checkpoint_policies.nothing_saveable
         )
+        step = jax.checkpoint(step, policy=policy)
     xs = (layer_params, jnp.arange(cfg.depth))
     if dp_keys is not None:
         xs = xs + (dp_keys,)

@@ -56,7 +56,7 @@ def apply(
     *,
     attn_impl: str = "auto",
     sharding=None,
-    remat: bool = False,
+    remat=False,  # False | True/'full' | 'dots' (aggregator remat policy)
     train_rng=None,
     num_valid_frames=None,
 ):

@@ -65,7 +65,7 @@ def make_train_step(
     sharding=None,
     *,
     use_aux_inputs: bool = False,
-    remat: bool = True,
+    remat=True,  # True/'full' = save nothing; 'dots' = keep matmul outputs
     seed: int = 0,
 ):
     """Returns train_step(state, batch) -> (state, metrics).

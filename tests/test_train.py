@@ -78,6 +78,25 @@ def test_train_step_descends():
     assert float(metrics["grad_norm"]) > 0
 
 
+def test_train_step_dots_remat_policy():
+    """remat='dots' (keep matmul outputs; less recompute, more memory) must
+    produce the same gradients as the full-recompute policy."""
+    cfg = tiny_test_config()
+    opt = make_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=100)
+    batch = {k: jnp.asarray(v) for k, v in _batch().items()}
+
+    outs = {}
+    for policy in (True, "dots"):
+        # fresh params per run: the train step donates its input state
+        params = M.init(jax.random.PRNGKey(0), cfg)
+        step = make_train_step(cfg, opt, use_aux_inputs=True, remat=policy)
+        state, metrics = step(init_state(params, opt), batch)
+        outs[policy] = (float(metrics["total"]), float(metrics["grad_norm"]))
+    assert np.isfinite(outs["dots"]).all()
+    np.testing.assert_allclose(outs[True][0], outs["dots"][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[True][1], outs["dots"][1], rtol=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from omnivggt_tpu.train.checkpointing import (
         latest_checkpoint, resume_or_init, save_train_state,
