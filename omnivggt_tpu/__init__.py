@@ -47,6 +47,18 @@ def __getattr__(name):
         from omnivggt_tpu.data.loader import load_and_preprocess_images
 
         return load_and_preprocess_images
+    if name == "serve":
+        from omnivggt_tpu.serving import serve
+
+        return serve
+    if name == "SceneDataset":
+        from omnivggt_tpu.data.dataset import SceneDataset
+
+        return SceneDataset
+    if name == "ShardedSampleStream":
+        from omnivggt_tpu.data.streaming import ShardedSampleStream
+
+        return ShardedSampleStream
     raise AttributeError(name)
 
 __version__ = "0.1.0"
