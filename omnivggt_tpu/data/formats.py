@@ -329,23 +329,59 @@ def detect_scene_format(scene_dir: str) -> str:
     return "folder"
 
 
-def load_scene(scene_dir: str, target_size: int = TARGET_SIZE, **kwargs) -> SceneArrays:
+def load_scene(
+    scene_dir: str,
+    target_size: int = TARGET_SIZE,
+    stride: int = 1,
+    max_frames: Optional[int] = None,
+    max_depth: float = 100.0,
+    **kwargs,
+) -> SceneArrays:
     """Format-dispatching scene reader (all formats return the canonical
-    loader tuple)."""
+    loader tuple). stride/max_frames/max_depth apply uniformly — a mixed
+    training root must not subsample some formats and silently ignore the
+    limits on others."""
     fmt = detect_scene_format(scene_dir)
     if fmt == "scannet":
-        return load_scannet_scene(scene_dir, target_size=target_size, **kwargs)
+        return load_scannet_scene(
+            scene_dir, target_size=target_size, stride=stride,
+            max_frames=max_frames, max_depth=max_depth, **kwargs,
+        )
     if fmt == "co3d":
-        return load_co3d_sequence(scene_dir, target_size=target_size, **kwargs)
+        return load_co3d_sequence(
+            scene_dir, target_size=target_size, stride=stride,
+            max_frames=max_frames, max_depth=max_depth, **kwargs,
+        )
+    if kwargs:
+        raise TypeError(f"unsupported options for folder scenes: {kwargs}")
     from omnivggt_tpu.data.loader import load_images_and_cameras
 
     def opt(sub):
         p = os.path.join(scene_dir, sub)
         return p if os.path.isdir(p) else None
 
-    return load_images_and_cameras(
+    out = load_images_and_cameras(
         os.path.join(scene_dir, "images"),
         camera_folder=opt("cameras"),
         depth_folder=opt("depths"),
         target_size=target_size,
+        max_depth=max_depth,
+    )
+    if stride == 1 and max_frames is None:
+        return out
+    # apply the frame limits post-load (the folder loader has no native
+    # stride) and remap the gt-index lists to the kept positions
+    images, ex, K, depths, masks, d_idx, c_idx = out
+    keep = list(range(0, images.shape[0], stride))
+    if max_frames is not None:
+        keep = keep[:max_frames]
+    pos = {orig: i for i, orig in enumerate(keep)}
+    return (
+        images[keep],
+        ex[:, keep],
+        K[:, keep],
+        depths[:, keep],
+        masks[:, keep],
+        [pos[i] for i in d_idx if i in pos],
+        [pos[i] for i in c_idx if i in pos],
     )

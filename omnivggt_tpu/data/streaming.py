@@ -40,7 +40,13 @@ def write_shards(
     prefix: str = "shard",
 ) -> List[str]:
     """Write samples into `{out_dir}/{prefix}-{i:06d}.tar` files of .npz
-    members. Returns the shard paths."""
+    members. Returns the shard paths.
+
+    Samples destined for `batch_stream` must use the SceneDataset layout:
+    multi-axis arrays carry a leading batch dim of 1 ((1, S, H, W, 3)
+    images, (1, S, 3, 4) extrinsics — S=1 scenes are (1, 1, ...)), per-frame
+    masks are 1-D (S,). batch_stream strips exactly that leading 1; arrays
+    in other layouts whose first dim happens to be 1 would lose a real axis."""
     os.makedirs(out_dir, exist_ok=True)
     paths: List[str] = []
     tar = None
@@ -164,11 +170,19 @@ def batch_stream(
     prefetch_depth: int = 2,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Stack `batch_size` same-shaped samples along a new leading axis and
-    prefetch batches on a background thread. Samples whose leading batch dim
-    is already 1 (SceneDataset layout) are squeezed before stacking. Mixed
-    resolutions/view-counts are grouped by shape (one executable per bucket,
-    same policy as serving) — a straggler bucket is flushed as a smaller
-    final batch when the stream ends."""
+    prefetch batches on a background thread. Samples must use the
+    SceneDataset layout (see write_shards): the leading batch dim of 1 on
+    multi-axis arrays is squeezed before stacking. Mixed resolutions/
+    view-counts are grouped by shape (one executable per bucket, same
+    policy as serving) — a straggler bucket is flushed as a smaller final
+    batch when the stream ends.
+
+    Multi-host caveat: shape-bucketed emission is per-host; hosts streaming
+    different shards can yield differently-shaped batches at the same step,
+    which a synchronized SPMD train step cannot consume. For synchronized
+    multi-host training, preprocess to ONE shape (fixed views_per_sample +
+    target_size) so every batch matches; bucketing is for single-host runs
+    or independent per-host step loops."""
     from omnivggt_tpu.data.dataset import prefetch
 
     def squeeze(g, k):

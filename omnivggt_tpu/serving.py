@@ -100,6 +100,14 @@ class InferenceSession:
         (and be stacked into one batch)."""
         from omnivggt_tpu.utils.validation import validate_batch
 
+        # normalise gt indices early: numpy arrays would crash the truthiness
+        # checks below (multi-element) or silently key single-element arrays
+        # as empty
+        if camera_gt_index is not None:
+            camera_gt_index = [int(i) for i in camera_gt_index]
+        if depth_gt_index is not None:
+            depth_gt_index = [int(i) for i in depth_gt_index]
+
         images = np.asarray(images, np.float32)
         if images.ndim != 4:
             raise ValueError(f"images must be (S,H,W,3); got {images.shape}")
@@ -335,14 +343,25 @@ class Batcher:
                     self._cv.wait()
                 if self._stop and not self._pending:
                     return
-                # serve the key whose oldest request has waited longest, but
-                # only once it is full or its window has elapsed
-                key = min(self._pending, key=lambda k: self._pending[k][0]["t"])
+                # a FULL group dispatches immediately regardless of age —
+                # waiting on the oldest key's window would starve it
+                key = next(
+                    (k for k, v in self._pending.items()
+                     if len(v) >= self.max_batch),
+                    None,
+                )
+                if key is None:
+                    # otherwise serve the key whose oldest request has waited
+                    # longest, once its window has elapsed
+                    key = min(
+                        self._pending,
+                        key=lambda k: self._pending[k][0]["t"],
+                    )
+                    age = time.monotonic() - self._pending[key][0]["t"]
+                    if age < self.window:
+                        self._cv.wait(timeout=self.window - age)
+                        continue
                 entries = self._pending[key]
-                age = time.monotonic() - entries[0]["t"]
-                if len(entries) < self.max_batch and age < self.window:
-                    self._cv.wait(timeout=self.window - age)
-                    continue
                 group = entries[: self.max_batch]
                 del entries[: self.max_batch]
                 if not entries:
@@ -372,9 +391,14 @@ def _glb_from_preds(preds: Dict[str, np.ndarray], H: int, W: int,
     p = dict(preds)
     p["extrinsic"] = np.asarray(extrinsic)[0]
     p["intrinsic"] = np.asarray(intrinsic)[0]
-    p["world_points_from_depth"] = unproject_depth_map_to_point_map(
-        p["depth"], p["extrinsic"], p["intrinsic"]
-    )
+    # the depth unprojection is an eager jax call (~per-request retrace cost
+    # on this host) — compute it only when the export mode will use it
+    # (mirrors predictions_to_glb_data's branch)
+    mode = glb_kwargs.get("prediction_mode", "Predicted Pointmap")
+    if not ("Pointmap" in mode and "world_points" in p):
+        p["world_points_from_depth"] = unproject_depth_map_to_point_map(
+            p["depth"], p["extrinsic"], p["intrinsic"]
+        )
     points, colors, cam_meshes = predictions_to_glb_data(p, **glb_kwargs)
     buf = io.BytesIO()
     write_glb(buf, points, colors, cam_meshes)
@@ -468,7 +492,12 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
                     self._send(200, body, "model/gltf-binary", hdr)
                 else:
                     buf = io.BytesIO()
-                    np.savez(buf, **preds)
+                    # don't echo the client's own images back (tens of MB
+                    # of redundant payload per request)
+                    np.savez(
+                        buf,
+                        **{k: v for k, v in preds.items() if k != "images"},
+                    )
                     self._send(
                         200, buf.getvalue(), "application/octet-stream", hdr
                     )
@@ -479,6 +508,7 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
         def log_message(self, *a):
             pass
 
+    ThreadingTCPServer.allow_reuse_address = True  # survive TIME_WAIT restarts
     httpd = ThreadingTCPServer(("0.0.0.0", port), Handler)
     httpd.daemon_threads = True
     print(

@@ -246,6 +246,7 @@ def serve_scene(
         def log_message(self, *a):
             pass
 
+    socketserver.ThreadingTCPServer.allow_reuse_address = True  # TIME_WAIT
     httpd = socketserver.ThreadingTCPServer(("0.0.0.0", port), Handler)
     httpd.daemon_threads = True
     print(f"viewer running at http://localhost:{httpd.server_address[1]}")
