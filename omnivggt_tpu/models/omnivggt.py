@@ -168,6 +168,15 @@ def make_aux(
                 "depth_gt_index requires a depth array (frames marked as "
                 "having depth GT but no depth was given)"
             )
+        if mask is None:
+            # the reference's normalize_depth asserts depth/mask shapes match
+            # (omnivggt_aggregator.py:112) — mask is required alongside depth
+            raise ValueError(
+                "depth_gt_index requires a validity mask alongside depth "
+                "(the depth injection normalises by the mask-mean and embeds "
+                "(depth, mask) as a 2-channel patch; pass mask=np.ones(...) "
+                "if every depth pixel is valid)"
+            )
         d_mask = np.zeros((S,), bool)
         d_mask[np.asarray(depth_gt_index)] = True
     if cam_mask is None and d_mask is None:

@@ -440,3 +440,30 @@ def test_dpt_chunk_padding_prime_frame_count():
     for c, w in zip(chunked, whole):
         assert c.shape == w.shape
         np.testing.assert_allclose(np.asarray(c), np.asarray(w), atol=1e-5, rtol=1e-5)
+
+
+def test_make_aux_validation_errors():
+    """make_aux rejects inconsistent modality inputs with clear messages
+    (regression: depth without mask used to crash later with an opaque
+    NoneType error at the aggregator's depth_valid use)."""
+    import pytest
+
+    from omnivggt_tpu.models.omnivggt import make_aux
+
+    S = 4
+    depth = np.zeros((1, S, 28, 28, 1), np.float32)
+    mask = np.ones((1, S, 28, 28), np.float32)
+    ex = np.zeros((1, S, 3, 4), np.float32)
+    K = np.zeros((1, S, 3, 3), np.float32)
+
+    with pytest.raises(ValueError, match="validity mask"):
+        make_aux(S, depth=depth, depth_gt_index=[0, 1])
+    with pytest.raises(ValueError, match="depth array"):
+        make_aux(S, mask=mask, depth_gt_index=[0, 1])
+    with pytest.raises(ValueError, match="extrinsics and intrinsics"):
+        make_aux(S, extrinsics=ex, camera_gt_index=[0])
+
+    # the valid combinations still build
+    assert make_aux(S, depth=depth, mask=mask, depth_gt_index=[0]) is not None
+    assert make_aux(S, extrinsics=ex, intrinsics=K, camera_gt_index=[0]) is not None
+    assert make_aux(S) is None
