@@ -19,9 +19,10 @@ host's CPU. `bench_baseline.json` stores that one-time measurement
 ours / reference. If the file is absent, vs_baseline is null.
 
 Env knobs: BENCH_VIEWS (default 8) headline frame count, BENCH_ITERS (3),
-BENCH_SWEEP=0 to skip the S=64 point, BENCH_HEAD_DTYPE=bfloat16 to bench the
-faster approximate-heads mode, BENCH_COMPRESS=0 to keep fp32 trunk weight
-storage (default is the serving configuration: bf16-stored trunk weights,
+BENCH_SWEEP=0 to skip the S=64 point, BENCH_HEAD_DTYPE=float32 to bench the
+reference-parity fp32-heads mode (the default is the serving configuration:
+bf16 heads, certified at checkpoint load by certify_head_dtype), BENCH_COMPRESS=0
+to keep fp32 trunk weight storage (default: bf16-stored trunk weights,
 checkpoint.cast_trunk_params — <= ~1e-5 output delta, +2% throughput).
 """
 
@@ -73,10 +74,13 @@ def main():
 
     S = int(os.environ.get("BENCH_VIEWS", "8"))
     H = W = 518
-    # bf16 trunk, fp32 heads (reference parity); BENCH_HEAD_DTYPE=bfloat16
-    # benches the faster approximate-heads mode
+    # serving default since round 3: bf16 trunk AND bf16 heads — checkpoint
+    # load certifies the bf16-head accuracy on a probe batch and falls back
+    # to fp32 when the deltas exceed tolerance (models/omnivggt.py
+    # certify_head_dtype). BENCH_HEAD_DTYPE=float32 benches the
+    # reference-parity fp32-head mode.
     cfg = OmniVGGTConfig(
-        head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "float32")
+        head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "bfloat16")
     )
 
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))

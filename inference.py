@@ -45,6 +45,9 @@ def parse_args():
     p.add_argument("--compress_trunk", action="store_true",
                    help="store trunk weights in bf16 (~half the HBM, "
                         "<= ~1e-5 output delta; checkpoint.cast_trunk_params)")
+    p.add_argument("--fp32_heads", action="store_true",
+                   help="force fp32 dense heads (skip the certify-then-default "
+                        "bf16-head probe run at checkpoint load)")
     return p.parse_args()
 
 
@@ -77,7 +80,11 @@ def main():
         model = OmniVGGT(tiny_test_config())
     elif args.checkpoint:
         print(f"loading checkpoint {args.checkpoint} ...")
-        model = OmniVGGT.from_safetensors(args.checkpoint)
+        model = OmniVGGT.from_safetensors(
+            args.checkpoint,
+            head_dtype="float32" if args.fp32_heads else "auto",
+        )
+        print(f"head dtype: {model.config.head_dtype}")
     else:
         print(
             "WARNING: no --checkpoint given — running with random weights "

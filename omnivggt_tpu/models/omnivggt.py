@@ -191,6 +191,78 @@ def make_aux(
     )
 
 
+def certify_head_dtype(
+    params,
+    cfg: OmniVGGTConfig,
+    *,
+    probe_hw: Optional[int] = None,
+    probe_s: int = 2,
+    pose_tol: float = 2e-2,
+    rel_tol: float = 2e-2,
+) -> OmniVGGTConfig:
+    """Certify-then-default the bf16 dense heads.
+
+    Runs the model twice on a small deterministic probe batch — fp32 heads
+    (reference parity: autocast(enabled=False), omnivggt.py:45) vs bf16
+    heads — and returns the config with head_dtype="bfloat16" only when the
+    probe deltas stay within tolerance (median relative error on depth /
+    world-points / confidences, max-abs on pose_enc). Mirrors the
+    bounded-logits pattern (_certify_bounded_logits): the fast path is the
+    default, but only when the loaded weights provably keep it accurate;
+    fp32 stays the fallback and can be forced via head_dtype="float32".
+
+    The probe runs at 140 px (or the model's img_size if smaller) so the
+    certification costs two small compiles, not two full-resolution ones.
+    """
+    import dataclasses
+
+    if cfg.head_dtype != "float32":
+        return cfg  # caller already chose; nothing to certify
+
+    if probe_hw is None:
+        probe_hw = min(140, cfg.img_size)
+    probe_hw -= probe_hw % cfg.patch_size
+    key = jax.random.PRNGKey(0)
+    images = jax.random.uniform(
+        key, (1, probe_s, probe_hw, probe_hw, 3), jnp.float32
+    )
+
+    bf16_cfg = dataclasses.replace(cfg, head_dtype="bfloat16")
+    ref = jax.jit(lambda p, x: apply(p, x, cfg))(params, images)
+    fast = jax.jit(lambda p, x: apply(p, x, bf16_cfg))(params, images)
+
+    def med_rel(a, b, floor):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return float(np.median(np.abs(a - b) / (np.abs(a) + floor)))
+
+    pose_delta = float(
+        np.max(np.abs(np.asarray(ref["pose_enc"]) - np.asarray(fast["pose_enc"])))
+    )
+    checks = {
+        "pose_enc_maxabs": (pose_delta, pose_tol),
+        "depth_medrel": (med_rel(ref["depth"], fast["depth"], 1e-3), rel_tol),
+        "points_medrel": (
+            med_rel(ref["world_points"], fast["world_points"], 1e-3),
+            rel_tol,
+        ),
+        "depth_conf_medrel": (
+            med_rel(ref["depth_conf"], fast["depth_conf"], 1e-3),
+            rel_tol,
+        ),
+    }
+    failed = {k: v for k, (v, tol) in checks.items() if v > tol}
+    if failed:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bf16-head certification failed (%s); keeping fp32 heads",
+            ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
+        )
+        return cfg
+    return bf16_cfg
+
+
 def _certify_bounded_logits(config: OmniVGGTConfig, params) -> OmniVGGTConfig:
     """Verify the weight-dependent qk-norm logit bound that the fixed-max
     flash softmax relies on; flip config.bounded_attn_logits off when real
@@ -225,12 +297,29 @@ class OmniVGGT:
         self._jitted = {}
 
     @classmethod
-    def from_safetensors(cls, path: str, config: Optional[OmniVGGTConfig] = None):
+    def from_safetensors(
+        cls,
+        path: str,
+        config: Optional[OmniVGGTConfig] = None,
+        head_dtype: str = "auto",
+    ):
+        """Load a converted reference checkpoint.
+
+        head_dtype: "auto" (default) probes bf16 vs fp32 heads on load and
+        defaults to bf16 when the outputs match within tolerance
+        (certify_head_dtype); "float32"/"bfloat16" force that dtype.
+        """
+        import dataclasses
+
         from omnivggt_tpu.checkpoint import load_safetensors_params
 
         config = config or OmniVGGTConfig()
+        if head_dtype != "auto":
+            config = dataclasses.replace(config, head_dtype=head_dtype)
         params = load_safetensors_params(path, config)
         config = _certify_bounded_logits(config, params)
+        if head_dtype == "auto":
+            config = certify_head_dtype(params, config)
         return cls(config, params)
 
     def save_pretrained(self, directory: str) -> str:
@@ -249,8 +338,13 @@ class OmniVGGT:
         return directory
 
     @classmethod
-    def from_pretrained(cls, directory: str):
-        """Load a native checkpoint saved with save_pretrained."""
+    def from_pretrained(cls, directory: str, head_dtype: str = "keep"):
+        """Load a native checkpoint saved with save_pretrained.
+
+        head_dtype: "keep" (default) respects the saved config's head dtype;
+        "auto" re-runs the bf16-head certification probe; "float32"/
+        "bfloat16" force that dtype.
+        """
         import json
         import os
 
@@ -283,9 +377,18 @@ class OmniVGGT:
             compute_dtype=raw["compute_dtype"],
             head_dtype=raw.get("head_dtype", "float32"),
         )
+        if head_dtype not in ("keep", "auto"):
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, head_dtype=head_dtype)
         template = _jax.eval_shape(lambda: init(_jax.random.PRNGKey(0), cfg))
         params = load_orbax(os.path.join(os.path.abspath(directory), "params"), template)
         cfg = _certify_bounded_logits(cfg, params)
+        if head_dtype == "auto":
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, head_dtype="float32")
+            cfg = certify_head_dtype(params, cfg)
         return cls(cfg, params)
 
     def __call__(

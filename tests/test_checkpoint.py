@@ -77,7 +77,9 @@ def test_safetensors_roundtrip(tmp_path):
     path = str(tmp_path / "ref.safetensors")
     save_file(sd, path)
 
-    model = OmniVGGT.from_safetensors(path, _tiny_cfg())
+    # pin fp32 heads: this test checks strict reference parity, not the
+    # certified bf16-head serving default
+    model = OmniVGGT.from_safetensors(path, _tiny_cfg(), head_dtype="float32")
     rng = np.random.default_rng(0)
     imgs = rng.uniform(size=(2, 28, 28, 3)).astype(np.float32)
     preds = model(imgs)
@@ -91,3 +93,48 @@ def test_safetensors_roundtrip(tmp_path):
     np.testing.assert_allclose(
         ref["pose_enc"].numpy(), np.asarray(preds["pose_enc"]), atol=5e-4
     )
+
+def test_certify_head_dtype():
+    """The bf16-head certification probe enables bf16 heads when the probe
+    deltas stay in tolerance and keeps fp32 when they do not."""
+    from omnivggt_tpu.models.omnivggt import certify_head_dtype
+
+    cfg = tiny_test_config()
+    model = OmniVGGT(cfg, seed=0)
+
+    certified = certify_head_dtype(model.params, cfg)
+    assert certified.head_dtype == "bfloat16"
+    # everything else unchanged
+    assert certified.aggregator == cfg.aggregator
+
+    # zero tolerance: bf16 rounding alone must fail the gate -> fp32 kept
+    strict = certify_head_dtype(model.params, cfg, pose_tol=0.0, rel_tol=0.0)
+    assert strict.head_dtype == "float32"
+
+    # explicit non-fp32 configs pass through untouched
+    import dataclasses
+
+    forced = dataclasses.replace(cfg, head_dtype="bfloat16")
+    assert certify_head_dtype(model.params, forced) is forced
+
+
+def test_from_safetensors_head_dtype_modes(tmp_path):
+    """head_dtype='auto' certifies-then-defaults bf16 heads at load;
+    'float32' forces the reference-parity mode."""
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    install_reference()
+    import torch
+    from safetensors.numpy import save_file
+
+    from tests.test_models import _tiny_cfg, _tiny_torch_omnivggt
+
+    torch.manual_seed(2)
+    sd = torch_state_dict_to_numpy(_tiny_torch_omnivggt(torch))
+    path = str(tmp_path / "ref.safetensors")
+    save_file(sd, path)
+
+    auto = OmniVGGT.from_safetensors(path, _tiny_cfg())
+    assert auto.config.head_dtype == "bfloat16"
+    forced = OmniVGGT.from_safetensors(path, _tiny_cfg(), head_dtype="float32")
+    assert forced.config.head_dtype == "float32"
