@@ -43,7 +43,7 @@ _PAGE = """<!DOCTYPE html>
 <script>
 const canvas=document.getElementById('c');
 const gl=canvas.getContext('webgl');
-let N=0,S=0,pos,col,conf,fid,camsegs=null,confSorted;
+let N=0,S=0,pos,col,conf,fid,camsegs=null,confSorted,campose=null,sceneR=1,tween=null;
 const st={rx:-0.5,ry:0.5,dist:3,cx:0,cy:0,cz:0,px:0,py:0};
 function resize(){canvas.width=innerWidth;canvas.height=innerHeight;gl.viewport(0,0,canvas.width,canvas.height);}
 addEventListener('resize',resize);resize();
@@ -73,8 +73,47 @@ function mvp(){
  const T=[1,0,0,0, 0,1,0,0, 0,0,1,0, -st.cx+st.px,-st.cy+st.py,-st.cz,1];
  const Z=[1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,-st.dist,1];
  return mul(pm,mul(Z,mul(R1,mul(R2,T))));}
-canvas.addEventListener('mousedown',e=>{st.drag=e.button; st.lx=e.clientX;st.ly=e.clientY;e.preventDefault();});
-addEventListener('mouseup',()=>st.drag=undefined);
+canvas.addEventListener('mousedown',e=>{st.drag=e.button; st.lx=e.clientX;st.ly=e.clientY;
+ st.dx0=e.clientX;st.dy0=e.clientY;e.preventDefault();});
+addEventListener('mouseup',e=>{
+ if(st.drag===0&&Math.abs(e.clientX-st.dx0)<4&&Math.abs(e.clientY-st.dy0)<4)pickCamera(e.clientX,e.clientY);
+ st.drag=undefined;});
+// click a camera frustum to fly the view to that camera's pose
+// (parity with the reference viewer's per-frustum click handler,
+//  /root/reference/inference.py:201-258)
+function pickCamera(x,y){
+ if(!campose)return;
+ const m=mvp();let best=-1,bd=20;  // 20 px pick radius
+ for(let s=0;s<S;s++){
+  const px=campose[6*s],py=campose[6*s+1],pz=campose[6*s+2];
+  const dx=campose[6*s+3],dy=campose[6*s+4],dz=campose[6*s+5];
+  if(dx===0&&dy===0&&dz===0)continue;
+  const w=m[3]*px+m[7]*py+m[11]*pz+m[15];
+  if(w<=0)continue;
+  const sx=((m[0]*px+m[4]*py+m[8]*pz+m[12])/w*0.5+0.5)*canvas.width;
+  const sy=(0.5-(m[1]*px+m[5]*py+m[9]*pz+m[13])/w*0.5)*canvas.height;
+  const d=Math.hypot(sx-x,sy-y);
+  if(d<bd){bd=d;best=s;}}
+ if(best<0)return;
+ const p=[campose[6*best],campose[6*best+1],campose[6*best+2]];
+ let d=[campose[6*best+3],campose[6*best+4],campose[6*best+5]];
+ const dn=Math.hypot(d[0],d[1],d[2])||1;d=d.map(v=>v/dn);
+ // orbit params reproducing eye=p, forward=d (view forward
+ // = R2^T R1^T (0,0,-1) = (cx*sy, -sx, -cx*cy))
+ const d0=Math.max(sceneR*0.35,1e-3);
+ const to={rx:Math.asin(Math.max(-1,Math.min(1,-d[1]))),
+           ry:Math.atan2(d[0],-d[2]),dist:d0,
+           cx:p[0]+d[0]*d0,cy:p[1]+d[1]*d0,cz:p[2]+d[2]*d0,px:0,py:0};
+ // shortest-path angular interpolation
+ const TAU=Math.PI*2;
+ to.ry=st.ry+((to.ry-st.ry)%TAU+TAU*1.5)%TAU-TAU*0.5;
+ const from={...st},t0=performance.now();
+ tween=()=>{const u=Math.min(1,(performance.now()-t0)/600);
+  const e=u*u*(3-2*u);  // smoothstep
+  for(const k of ['rx','ry','dist','cx','cy','cz','px','py'])
+   st[k]=from[k]+(to[k]-from[k])*e;
+  if(u>=1)tween=null;};
+}
 canvas.addEventListener('contextmenu',e=>e.preventDefault());
 addEventListener('mousemove',e=>{if(st.drag===undefined)return;
  const dx=e.clientX-st.lx,dy=e.clientY-st.ly;st.lx=e.clientX;st.ly=e.clientY;
@@ -82,6 +121,7 @@ addEventListener('mousemove',e=>{if(st.drag===undefined)return;
  else{st.px+=dx*0.002*st.dist;st.py-=dy*0.002*st.dist;}});
 canvas.addEventListener('wheel',e=>{st.dist*=Math.exp(e.deltaY*0.001);e.preventDefault();});
 function draw(){
+ if(tween)tween();
  gl.clearColor(0.07,0.07,0.08,1);gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
  gl.enable(gl.DEPTH_TEST);
  if(N){
@@ -118,14 +158,15 @@ fetch('data').then(r=>r.arrayBuffer()).then(ab=>{
  conf=new Float32Array(ab,o,N);o+=N*4;
  fid=new Float32Array(ab,o,N);o+=N*4;
  const lp=new Float32Array(ab,o,nl*6);o+=nl*24;
- const lc=new Uint8Array(ab,o,nl*6);
+ const lc=new Uint8Array(ab,o,nl*6);o+=nl*6;o+=(4-o%4)%4;
+ if(o+S*24<=ab.byteLength)campose=new Float32Array(ab,o,S*6);
  confSorted=Float32Array.from(conf).sort();
  // center/scale
  let mx=0,my=0,mz=0;for(let i=0;i<N;i++){mx+=pos[3*i];my+=pos[3*i+1];mz+=pos[3*i+2];}
  st.cx=mx/N;st.cy=my/N;st.cz=mz/N;
  let r=0;for(let i=0;i<Math.min(N,10000);i++){const dx=pos[3*i]-st.cx,dy=pos[3*i+1]-st.cy,dz=pos[3*i+2]-st.cz;
   r=Math.max(r,Math.sqrt(dx*dx+dy*dy+dz*dz));}
- st.dist=r*1.5||3;
+ st.dist=r*1.5||3;sceneR=r||1;
  const sel=document.getElementById('frame');
  for(let s=0;s<S;s++){const op=document.createElement('option');op.value=s;op.textContent='frame '+s;sel.appendChild(op);}
  const mk=(d)=>{const b=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.bufferData(gl.ARRAY_BUFFER,d,gl.STATIC_DRAW);return b;};
@@ -136,8 +177,17 @@ fetch('data').then(r=>r.arrayBuffer()).then(ab=>{
 </script></body></html>"""
 
 
-def build_payload(points, colors, conf, frame_ids, n_frames, cam_segments, cam_colors):
-    """Binary payload matching the viewer's /data parser."""
+def build_payload(
+    points, colors, conf, frame_ids, n_frames, cam_segments, cam_colors,
+    cam_poses=None,
+):
+    """Binary payload matching the viewer's /data parser.
+
+    cam_poses: optional (n_frames, 6) float32 [position, view direction] per
+    camera, in the (recentered) world frame — powers the click-frustum-to-
+    set-viewpoint interaction (reference: inference.py:201-258's
+    attach_callback per-frame handler). Zeros disable picking for a camera.
+    """
     n = len(points)
     nl = len(cam_segments)
     out = bytearray()
@@ -149,6 +199,10 @@ def build_payload(points, colors, conf, frame_ids, n_frames, cam_segments, cam_c
     out += np.ascontiguousarray(frame_ids, np.float32).tobytes()
     out += np.ascontiguousarray(cam_segments, np.float32).tobytes()  # (nl, 2, 3)
     out += np.ascontiguousarray(cam_colors, np.uint8).tobytes()  # (nl, 2, 3)
+    out += b"\x00" * ((4 - len(out) % 4) % 4)
+    if cam_poses is None:
+        cam_poses = np.zeros((n_frames, 6), np.float32)
+    out += np.ascontiguousarray(cam_poses, np.float32).tobytes()  # (S, 6)
     return bytes(out)
 
 
@@ -220,8 +274,13 @@ def serve_scene(
     ex_centered = np.linalg.inv(c2w)[:, :3, :4]
     segs, seg_cols = camera_wire_segments(ex_centered, scene_scale)
 
+    # per-camera [position, +z view direction] for click-to-set-viewpoint
+    cam_poses = np.concatenate(
+        [c2w[:, :3, 3], c2w[:, :3, 2]], axis=-1
+    ).astype(np.float32)
+
     payload = build_payload(
-        points, colors, conf_flat, frame_ids, S, segs, seg_cols
+        points, colors, conf_flat, frame_ids, S, segs, seg_cols, cam_poses
     )
     page = _PAGE.replace("CONF0", str(int(init_conf_threshold)))
 

@@ -140,9 +140,27 @@ def test_viewer_server_roundtrip():
 
     page = urllib.request.urlopen(f"http://localhost:{port}/", timeout=10).read()
     assert b"omnivggt-tpu" in page and b"webgl" in page.lower()
+    # click-frustum-to-set-viewpoint handler shipped with the page
+    assert b"pickCamera" in page
     data = urllib.request.urlopen(f"http://localhost:{port}/data", timeout=10).read()
     n, s_frames, nl = struct.unpack("<III", data[:12])
     assert n == S * H * W and s_frames == S and nl == S * 8  # 8 segments/camera
+
+    # the trailing per-camera [position, view-dir] block used by the click
+    # handler: walk the binary layout the page's parser uses
+    off = 12 + n * 12 + n * 3
+    off += (4 - off % 4) % 4
+    off += n * 4 + n * 4 + nl * 24 + nl * 6
+    off += (4 - off % 4) % 4
+    cam_poses = np.frombuffer(data[off : off + S * 24], np.float32).reshape(S, 6)
+    # identity camera rotations -> view direction (0, 0, 1) for every frame
+    np.testing.assert_allclose(cam_poses[:, 3:], [[0, 0, 1]] * S, atol=1e-6)
+    # recentering preserves relative camera positions
+    rel_ref = c2w[1, :3, 3] - c2w[0, :3, 3]
+    np.testing.assert_allclose(
+        cam_poses[1, :3] - cam_poses[0, :3], rel_ref, atol=1e-5
+    )
+    assert off + S * 24 == len(data)
 
 
 @pytest.mark.slow
