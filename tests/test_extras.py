@@ -243,3 +243,39 @@ def test_timer_section_forces_set_result():
     assert t.counts["x"] == 1 and t.totals["x"] >= 0
     with timed("y") as s:
         s.set(None)
+
+
+@pytest.mark.slow
+def test_validate_release_tiny(tmp_path):
+    """tools/validate_release.py runs end-to-end (convert -> certify ->
+    example scenes -> torch goldens -> parity gates) with converted random
+    weights on the tiny architecture."""
+    from tests.reference_util import install_reference, reference_available
+    from tests.reference_util import torch_state_dict_to_numpy
+
+    if not reference_available():
+        pytest.skip("reference tree not mounted")
+    install_reference()
+    import torch
+    from safetensors.numpy import save_file
+
+    from tests.test_models import _tiny_torch_omnivggt
+
+    torch.manual_seed(5)
+    sd = torch_state_dict_to_numpy(_tiny_torch_omnivggt(torch))
+    path = str(tmp_path / "tiny.safetensors")
+    save_file(sd, path)
+
+    import tools.validate_release as VR
+
+    out = str(tmp_path / "result.json")
+    rc = VR.main([path, "--arch", "tiny", "--frames", "2", "--out", out])
+    assert rc == 0
+    result = json.load(open(out))
+    assert result["pass"]
+    assert set(result["scenes"]) == {"office", "infinigen"}
+    for name, sc in result["scenes"].items():
+        assert sc["pass"], (name, sc)
+        assert sc["pose_auc@30"] > 0.999
+        assert "views_per_sec" in sc
+    assert result["certified"]["head_dtype"] in ("bfloat16", "float32")
