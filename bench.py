@@ -115,6 +115,14 @@ def main():
         result["views_per_sec_s64"] = round(vps64, 4)
         result["mfu_s64"] = round(mfu64, 4)
 
+    # analytic allgather-vs-ring roofline for the 8-chip sequence-sharded
+    # path (no multi-chip hardware here; these are the numbers a real v5e-8
+    # run confirms or refutes — utils/profiling.sharded_attention_roofline)
+    if os.environ.get("BENCH_ROOFLINE", "1") != "0":
+        from omnivggt_tpu.utils.profiling import sharded_attention_roofline
+
+        result["sharded_roofline"] = sharded_attention_roofline()
+
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     # the stored torch baseline is an S=8 workload; per-view cost depends on

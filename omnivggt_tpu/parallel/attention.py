@@ -170,8 +170,32 @@ def fused_ring_attention(
 ) -> jnp.ndarray:
     """The Pallas RDMA ring kernel (ops/pallas/ring_attention.py), with
     interpret mode selected automatically off-TPU so the same model code runs
-    on the CPU test mesh."""
-    from omnivggt_tpu.ops.pallas.ring_attention import ring_flash_attention
+    on the CPU test mesh. Shards beyond the HBM-staged kernel's VMEM cap
+    (ops/pallas/ring_attention.MAX_LOCAL_SEQ_HBM, ~166 views on 8 chips)
+    fall back to the unfused lax.ppermute ring — logged, not silent."""
+    import math
+
+    from omnivggt_tpu.ops.pallas.ring_attention import (
+        DEFAULT_BLOCK_K,
+        DEFAULT_BLOCK_Q,
+        MAX_LOCAL_SEQ_HBM,
+        ring_flash_attention,
+    )
+
+    nl = q.shape[1] // mesh.shape[seq_axis]
+    step = math.lcm(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+    if -(-nl // step) * step > MAX_LOCAL_SEQ_HBM:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "per-device sequence %d exceeds the HBM-staged ring kernel cap "
+            "%d; falling back to the unfused ppermute ring (exact, but the "
+            "inner loop runs as XLA ops instead of the fused kernel)",
+            nl, MAX_LOCAL_SEQ_HBM,
+        )
+        return ring_attention(
+            q, k, v, mesh, seq_axis, bounded_logits=bounded_logits
+        )
 
     return ring_flash_attention(
         q, k, v, mesh, seq_axis, interpret=jax.default_backend() != "tpu",

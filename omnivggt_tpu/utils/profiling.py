@@ -139,3 +139,81 @@ def flops_estimate(cfg, S: int, H: Optional[int] = None, W: Optional[int] = None
         S, cfg.camera_head.dim_in
     )
     return float(vit + frame + glob + dpt + camera)
+
+
+def sharded_attention_roofline(
+    n_dev: int = 8,
+    views=(64, 128, 167, 256),
+    tokens_per_frame: int = 1374,
+    num_heads: int = 16,
+    head_dim: int = 64,
+    embed_dim: int = 1024,
+    ici_bytes_per_s: float = 9.0e10,
+    flash_flops_per_s: float = 60e12,
+    matmul_flops_per_s: float = 175e12,
+    bytes_per_elem: int = 2,
+):
+    """Analytic allgather-vs-ring roofline for the sequence-sharded global
+    attention (one aggregator layer, per device) — the numbers a real
+    multi-chip run must confirm or refute (BENCH report / ROADMAP).
+
+    Assumptions (v5e defaults): a bidirectional ring on one ICI torus axis
+    (2 x 45 GB/s per chip), the measured Pallas flash throughput (60 TFLOP/s
+    at the D=64 global-attention shape) and the measured amortised matmul
+    throughput (175 TFLOP/s), bf16 activations.
+
+      - allgather: each device receives (n_dev-1)/n_dev of the full K+V once
+        per layer; XLA can overlap the gather with the previous layer's
+        compute, so the figure of merit is comm time / compute time.
+      - ring: KV rotates in n_dev-1 steps; the rotation is hidden iff the
+        per-step transfer fits under the per-step attention compute.
+      - hbm_ring_ok: whether the per-device shard still fits the HBM-staged
+        Pallas ring kernel (ops/pallas/ring_attention.MAX_LOCAL_SEQ_HBM);
+        beyond it the unfused lax.ppermute ring takes over (logged fallback,
+        parallel/attention.fused_ring_attention).
+    """
+    import math
+
+    from omnivggt_tpu.ops.pallas.ring_attention import (
+        DEFAULT_BLOCK_K,
+        DEFAULT_BLOCK_Q,
+        MAX_LOCAL_SEQ_HBM,
+    )
+
+    step = math.lcm(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+    out = {
+        "assumptions": {
+            "n_dev": n_dev,
+            "ici_bytes_per_s": ici_bytes_per_s,
+            "flash_flops_per_s": flash_flops_per_s,
+            "matmul_flops_per_s": matmul_flops_per_s,
+        },
+        # largest view count the HBM-staged ring kernel covers on this mesh
+        "hbm_ring_max_views": (MAX_LOCAL_SEQ_HBM // step * step)
+        * n_dev
+        // tokens_per_frame,
+        "per_layer": {},
+    }
+    HD = num_heads * head_dim
+    for S in views:
+        N = S * tokens_per_frame
+        nl = -(-N // n_dev)
+        kv_bytes = 2 * N * HD * bytes_per_elem
+        t_allgather = kv_bytes * (n_dev - 1) / n_dev / ici_bytes_per_s
+        t_attn = 4 * nl * N * HD / flash_flops_per_s
+        t_dense = 24 * nl * embed_dim * embed_dim / matmul_flops_per_s
+        ring_step_comm = 2 * nl * HD * bytes_per_elem / ici_bytes_per_s
+        ring_step_attn = 4 * nl * nl * HD / flash_flops_per_s
+        nl_pad = -(-nl // step) * step
+        out["per_layer"][S] = {
+            "tokens_per_device": nl,
+            "allgather_ms": round(t_allgather * 1e3, 3),
+            "attn_ms": round(t_attn * 1e3, 3),
+            "dense_ms": round(t_dense * 1e3, 3),
+            "allgather_comm_fraction": round(t_allgather / (t_attn + t_dense), 3),
+            "ring_step_comm_ms": round(ring_step_comm * 1e3, 3),
+            "ring_step_attn_ms": round(ring_step_attn * 1e3, 3),
+            "ring_comm_hidden": ring_step_comm <= ring_step_attn,
+            "hbm_ring_ok": nl_pad <= MAX_LOCAL_SEQ_HBM,
+        }
+    return out

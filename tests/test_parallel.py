@@ -122,3 +122,31 @@ def test_sharded_model_forward_matches_single_device(global_attn):
         np.asarray(ref["world_points"]), np.asarray(out["world_points"]),
         atol=5e-5, rtol=1e-5,
     )
+
+
+@needs_8dev
+def test_fused_ring_oversize_falls_back_logged(caplog):
+    """Shards beyond the HBM ring kernel's cap fall back to the unfused
+    ppermute ring with a warning (not silently, not with a crash)."""
+    import logging
+
+    from omnivggt_tpu.ops.pallas import ring_attention as RK
+
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(5)
+    # tiny shapes but a temporarily tiny cap: exercise the dispatch logic
+    B, N, H, D = 1, 8 * 16, 2, 16
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    old = RK.MAX_LOCAL_SEQ_HBM
+    try:
+        RK.MAX_LOCAL_SEQ_HBM = 8
+        with caplog.at_level(logging.WARNING):
+            out = pattn.fused_ring_attention(q, k, v, mesh, "seq")
+    finally:
+        RK.MAX_LOCAL_SEQ_HBM = old
+    assert any("falling back to the unfused" in r.message for r in caplog.records)
+    ref = np.asarray(_attention_xla(q, k, v))
+    np.testing.assert_allclose(ref, np.asarray(out), atol=2e-5)
