@@ -339,12 +339,23 @@ class OmniVGGT:
 
     @classmethod
     def from_pretrained(cls, directory: str, head_dtype: str = "keep"):
-        """Load a native checkpoint saved with save_pretrained.
+        """Load a native checkpoint saved with save_pretrained, or — when
+        given a HF-hub repo id instead of a local directory — download the
+        reference safetensors checkpoint from the hub (the counterpart of
+        the reference's PyTorchModelHubMixin, omnivggt.py:3,10; requires
+        network + huggingface_hub, so it degrades to a clear error offline).
 
         head_dtype: "keep" (default) respects the saved config's head dtype;
         "auto" re-runs the bf16-head certification probe; "float32"/
         "bfloat16" force that dtype.
         """
+        import os as _os
+
+        if not _os.path.isdir(directory) and "/" in directory:
+            return cls._from_hub(
+                directory,
+                head_dtype="auto" if head_dtype == "keep" else head_dtype,
+            )
         import json
         import os
 
@@ -390,6 +401,36 @@ class OmniVGGT:
             cfg = dataclasses.replace(cfg, head_dtype="float32")
             cfg = certify_head_dtype(params, cfg)
         return cls(cfg, params)
+
+    @classmethod
+    def _from_hub(cls, repo_id: str, head_dtype: str = "auto"):
+        """Fetch a reference-layout safetensors checkpoint from the HF hub
+        and load it through the converter."""
+        import glob
+        import os
+
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:
+            raise RuntimeError(
+                f"{repo_id!r} is not a local checkpoint directory and "
+                "huggingface_hub is not installed, so it cannot be fetched "
+                "from the hub. Download the safetensors file manually and "
+                "use OmniVGGT.from_safetensors(path)."
+            ) from e
+        try:
+            snap = snapshot_download(repo_id, allow_patterns=["*.safetensors"])
+        except Exception as e:
+            raise RuntimeError(
+                f"could not download {repo_id!r} from the HF hub (offline "
+                "environment?). Download the safetensors file manually and "
+                "use OmniVGGT.from_safetensors(path)."
+            ) from e
+        files = sorted(glob.glob(os.path.join(snap, "**", "*.safetensors"),
+                                 recursive=True))
+        if not files:
+            raise RuntimeError(f"no .safetensors file in hub snapshot {snap!r}")
+        return cls.from_safetensors(files[0], head_dtype=head_dtype)
 
     def __call__(
         self,

@@ -138,3 +138,11 @@ def test_from_safetensors_head_dtype_modes(tmp_path):
     assert auto.config.head_dtype == "bfloat16"
     forced = OmniVGGT.from_safetensors(path, _tiny_cfg(), head_dtype="float32")
     assert forced.config.head_dtype == "float32"
+
+
+def test_from_pretrained_hub_path_clear_error():
+    """A repo-id argument that cannot be fetched (offline image) degrades to
+    an actionable error pointing at from_safetensors, not a FileNotFoundError
+    about config.json."""
+    with pytest.raises(RuntimeError, match="from_safetensors"):
+        OmniVGGT.from_pretrained("someorg/OmniVGGT")
