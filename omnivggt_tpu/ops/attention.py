@@ -109,6 +109,26 @@ def _attention_blockwise(q, k, v, block_k: int = _BLOCK_K, kv_valid=None):
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
+def resolve_impl(shape, impl: str = "auto") -> str:
+    """Resolve the "auto" attention dispatch for a (B, N, H, D) shape —
+    exposed so callers can adapt their prologue (e.g. the RoPE form) to the
+    kernel that will actually consume q/k."""
+    if impl != "auto":
+        return impl
+    B, N, H, _ = shape
+    rows = B * H
+    on_tpu = jax.default_backend() == "tpu"
+    # on TPU this covers every long sequence: N > _XLA_MAX_SEQ implies
+    # N >= _FLASH_MIN_SEQ and satisfies the rows-or-length condition
+    if on_tpu and N >= _FLASH_MIN_SEQ and (
+        rows <= _FLASH_MAX_ROWS or N > _XLA_MAX_SEQ
+    ):
+        return "flash"
+    if N <= _XLA_MAX_SEQ:
+        return "xla"
+    return "blockwise"
+
+
 @functools.partial(jax.jit, static_argnames=("impl", "bounded_logits"))
 def scaled_dot_product_attention(
     q: jnp.ndarray,
@@ -127,21 +147,7 @@ def scaled_dot_product_attention(
     bounded_logits: caller-guaranteed |scores| << 80 (qk-normed inputs); lets
     the flash kernel skip its running-max pass. Ignored by the xla/blockwise
     implementations (their softmax is already fused by XLA)."""
-    N = q.shape[1]
-    if impl == "auto":
-        rows = q.shape[0] * q.shape[2]
-        on_tpu = jax.default_backend() == "tpu"
-        # on TPU this covers every long sequence: N > _XLA_MAX_SEQ implies
-        # N >= _FLASH_MIN_SEQ and satisfies the rows-or-length condition
-        if on_tpu and N >= _FLASH_MIN_SEQ and (
-            rows <= _FLASH_MAX_ROWS or N > _XLA_MAX_SEQ
-        ):
-            impl = "flash"
-        elif N <= _XLA_MAX_SEQ:
-            impl = "xla"
-        else:
-            impl = "blockwise"
-
+    impl = resolve_impl(q.shape, impl)
     if impl == "xla":
         return _attention_xla(q, k, v, kv_valid=kv_valid)
     if impl == "blockwise":

@@ -174,8 +174,14 @@ def attention(
         k = layer_norm(p["k_norm"], k, ln_eps)
 
     if rope_cos is not None:
-        q = apply_rope(q, rope_cos, rope_sin)
-        k = apply_rope(k, rope_cos, rope_sin)
+        # pick the rope form for the attention impl that will consume q/k:
+        # matmul rotate-half for the opaque Pallas kernels, concatenate for
+        # XLA attention (which fuses it into its own prologue)
+        from omnivggt_tpu.ops.attention import resolve_impl
+
+        mm = shard is not None or resolve_impl(q.shape, impl) != "xla"
+        q = apply_rope(q, rope_cos, rope_sin, prefer_matmul=mm)
+        k = apply_rope(k, rope_cos, rope_sin, prefer_matmul=mm)
 
     # qk-norm bounds the scaled scores by sqrt(D)*(max|g_q|+max|b_q|)*
     # (max|g_k|+max|b_k|) — far below exp's fp32 overflow — letting the flash

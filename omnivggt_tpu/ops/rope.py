@@ -79,8 +79,39 @@ def _rotate_half_per_axis(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-y2, y1, -x2, x1], axis=-1)
 
 
-def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+@lru_cache(maxsize=8)
+def _rotate_matrix_np(d: int) -> np.ndarray:
+    """(D, D) signed-permutation matrix P with x @ P == rotate-half(x)."""
+    q = d // 4
+    P = np.zeros((d, d), np.float32)
+    for axis_off in (0, 2 * q):  # y half, x half
+        for i in range(q):
+            P[axis_off + q + i, axis_off + i] = -1.0  # -x2 -> first quarter
+            P[axis_off + i, axis_off + q + i] = 1.0  # x1 -> second quarter
+    return P
+
+
+def apply_rope(
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    prefer_matmul: bool = None,
+) -> jnp.ndarray:
     """Apply axial 2D RoPE.
+
+    For bf16 inputs the rotate-half runs as a matmul with a signed
+    permutation matrix: each output row sums exactly one +-x term, so the
+    result is bit-exact while the MXU does the lane shuffle — on TPU the
+    slice/concatenate form lowers to VPU lane permutes of a 16-lane-granular
+    D=64 vector, which XLA neither fuses nor vectorises well (measured ~37 ms
+    of a 522 ms S=8 forward; the matmul form recovered ~27 of them). Other
+    dtypes (fp32 CPU parity tests) keep the concatenate form: a
+    default-precision fp32 matmul would round through bf16 on the MXU.
+
+    prefer_matmul: callers that know their consumer can override — the
+    matmul form wins when q/k feed an opaque Pallas kernel, while the
+    concatenate form fuses into XLA's own attention (ops/layers.attention
+    passes resolve_impl's verdict). None = matmul for bf16.
 
     Args:
         x: (B, N, H, D) queries or keys.
@@ -89,6 +120,9 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     """
     cos = cos.astype(x.dtype)[None, :, None, :]
     sin = sin.astype(x.dtype)[None, :, None, :]
+    if x.dtype == jnp.bfloat16 and prefer_matmul is not False:
+        P = jnp.asarray(_rotate_matrix_np(x.shape[-1]), x.dtype)
+        return x * cos + (x @ P) * sin
     return x * cos + _rotate_half_per_axis(x) * sin
 
 

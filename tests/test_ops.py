@@ -39,6 +39,26 @@ def test_rope_parity():
     np.testing.assert_allclose(out_t, out_j, atol=1e-5)
 
 
+def test_rope_bf16_matmul_path_bitwise():
+    """The bf16 matmul rotate-half (signed permutation through the MXU) must
+    be bit-identical to the slice/concatenate form: every P row selects
+    exactly one +-x element, so the products and sums are the same floats."""
+    rng = np.random.default_rng(4)
+    B, N, H, D = 2, 21, 4, 64
+    cos, sin = R.rope_tables(4, 4, 5, D, 100.0)
+    x32 = jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    x16 = x32.astype(jnp.bfloat16)
+
+    got = R.apply_rope(x16, cos, sin)  # matmul path (bf16)
+    cos_c = cos.astype(jnp.bfloat16)[None, :, None, :]
+    sin_c = sin.astype(jnp.bfloat16)[None, :, None, :]
+    want = x16 * cos_c + R._rotate_half_per_axis(x16) * sin_c
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+
+
 def test_attention_impls_agree():
     rng = np.random.default_rng(1)
     q, k, v = [
