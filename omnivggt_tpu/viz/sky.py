@@ -67,11 +67,16 @@ def _onnx_sky_mask(image_path: str, session) -> Optional[np.ndarray]:
 
 
 def _get_onnx_session():
+    """ONNX session when both onnxruntime and the model file exist; the
+    model path defaults to ./skyseg.onnx (the reference's download target,
+    visual_util.py:640-645) and can be overridden with
+    OMNIVGGT_SKYSEG_ONNX."""
+    path = os.environ.get("OMNIVGGT_SKYSEG_ONNX", "skyseg.onnx")
     try:
         import onnxruntime
 
-        if os.path.exists("skyseg.onnx"):
-            return onnxruntime.InferenceSession("skyseg.onnx")
+        if os.path.exists(path):
+            return onnxruntime.InferenceSession(path)
     except ImportError:
         pass
     return None

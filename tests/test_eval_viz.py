@@ -365,3 +365,61 @@ def test_trajectory_metrics_sim3_invariance():
     m1 = eval_metrics(pred2, gt)
     for k in m0:
         np.testing.assert_allclose(m0[k], m1[k], rtol=1e-7, err_msg=k)
+
+
+class _FakeOnnxSession:
+    """Duck-typed onnxruntime.InferenceSession: emits a 320x320 map that is
+    high (sky) in the top half, low (ground) in the bottom half."""
+
+    class _IO:
+        name = "io"
+
+    def get_outputs(self):
+        return [self._IO()]
+
+    def get_inputs(self):
+        return [self._IO()]
+
+    def run(self, out_names, feeds):
+        x = feeds["io"]
+        assert x.shape == (1, 3, 320, 320) and x.dtype == np.float32
+        out = np.zeros((1, 1, 320, 320), np.float32)
+        out[..., :160, :] = 1.0  # top half = sky
+        return [out]
+
+
+def test_sky_onnx_branch(tmp_path, monkeypatch):
+    """The reference-compatible ONNX path (visual_util.py:453-490 semantics:
+    normalised output < 32 -> non-sky 255) runs end-to-end through
+    sky_masks_for_folder, including the PNG cache."""
+    import cv2
+
+    from omnivggt_tpu.viz import sky
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = np.full((64, 48, 3), 128, np.uint8)
+    cv2.imwrite(str(img_dir / "a.png"), img)
+
+    monkeypatch.setattr(sky, "_get_onnx_session", lambda: _FakeOnnxSession())
+    masks = sky.sky_masks_for_folder(
+        str(img_dir), (64, 48), cache_dir=str(tmp_path / "cache")
+    )
+    assert masks.shape == (1, 64, 48)
+    assert (masks[0, :28] == 0).all()  # sky rows
+    assert (masks[0, 36:] == 255).all()  # ground rows
+    # cached PNG round-trips without the session
+    monkeypatch.setattr(sky, "_get_onnx_session", lambda: None)
+    again = sky.sky_masks_for_folder(
+        str(img_dir), (64, 48), cache_dir=str(tmp_path / "cache")
+    )
+    np.testing.assert_array_equal(masks, again)
+
+
+def test_sky_onnx_env_model_path(tmp_path, monkeypatch):
+    """OMNIVGGT_SKYSEG_ONNX points _get_onnx_session at the model file; with
+    onnxruntime absent it degrades to None (HSV fallback) silently."""
+    from omnivggt_tpu.viz import sky
+
+    monkeypatch.setenv("OMNIVGGT_SKYSEG_ONNX", str(tmp_path / "nope.onnx"))
+    assert sky._get_onnx_session() is None
