@@ -44,8 +44,15 @@ def main():
     from omnivggt_tpu.config import OmniVGGTConfig
     from omnivggt_tpu.models import omnivggt as M
 
-    cfg = OmniVGGTConfig()
+    # match bench.py's serving configuration: bf16 heads + bf16-stored trunk
+    cfg = OmniVGGTConfig(
+        head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "bfloat16")
+    )
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_COMPRESS", "1") != "0":
+        from omnivggt_tpu.checkpoint import cast_trunk_params
+
+        params = cast_trunk_params(params)
 
     @jax.jit
     def fwd(params, images):
