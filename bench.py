@@ -19,11 +19,12 @@ host's CPU. `bench_baseline.json` stores that one-time measurement
 ours / reference. If the file is absent, vs_baseline is null.
 
 Env knobs: BENCH_VIEWS (default 8) headline frame count, BENCH_ITERS (3),
-BENCH_SWEEP=0 to skip the S=64 point, BENCH_HEAD_DTYPE=float32 to bench the
-reference-parity fp32-heads mode (the default is the serving configuration:
-bf16 heads, certified at checkpoint load by certify_head_dtype), BENCH_COMPRESS=0
-to keep fp32 trunk weight storage (default: bf16-stored trunk weights,
-checkpoint.cast_trunk_params — <= ~1e-5 output delta, +2% throughput).
+BENCH_SWEEP=0 to skip the S=64 point, BENCH_HEAD_DTYPE=float32 /
+BENCH_APPROX_GELU=0 to bench the reference-parity modes (the default is the
+serving configuration: bf16 heads + tanh-GELU trunk, certified at checkpoint
+load by certify_fast_modes), BENCH_COMPRESS=0 to keep fp32 trunk weight
+storage (default: bf16-stored trunk weights, checkpoint.cast_trunk_params —
+<= ~1e-5 output delta, +2% throughput).
 """
 
 import json
@@ -80,7 +81,9 @@ def main():
     # certify_head_dtype). BENCH_HEAD_DTYPE=float32 benches the
     # reference-parity fp32-head mode.
     cfg = OmniVGGTConfig(
-        head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "bfloat16")
+        head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "bfloat16"),
+        # certified trunk tanh-GELU (certify_fast_modes); =0 for exact erf
+        approx_gelu=os.environ.get("BENCH_APPROX_GELU", "1") != "0",
     )
 
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))

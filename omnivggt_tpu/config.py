@@ -179,6 +179,11 @@ class OmniVGGTConfig:
     # head compute dtype — "bfloat16" trades a small accuracy delta for
     # faster dense heads; fp32 is the reference-parity default
     head_dtype: str = "float32"
+    # tanh-form GELU in the trunk (aggregator + DINOv2) instead of the
+    # reference's exact erf — error below bf16 rounding, ~+10% throughput;
+    # off by default (bit parity), certified on at checkpoint load
+    # (models/omnivggt.certify_fast_modes)
+    approx_gelu: bool = False
     # permit the fixed-max flash softmax for qk-normed attention (exact up to
     # float rounding while the weight-dependent logit bound holds; checkpoint
     # loading verifies the bound via utils/validation.qk_logit_bound and

@@ -202,6 +202,7 @@ def apply(
     train_rng=None,
     num_valid_frames=None,
     allow_bounded: bool = True,
+    approx_gelu: bool = False,
 ):
     """Run the aggregator.
 
@@ -244,7 +245,7 @@ def apply(
     else:
         patch_tokens = dinov2.apply(
             params["patch_embed"], imgs, cfg.backbone, attn_impl=attn_impl,
-            shard=frame_shard,
+            shard=frame_shard, approx_gelu=approx_gelu,
         )
 
     camera_token = _expand_special_token(params["camera_token"], B, S, dtype)  # (B,S,1,C)
@@ -346,6 +347,7 @@ def apply(
             drop_path_rate=dp_rate,
             drop_path_key=dp_key if dp_rate > 0.0 else None,
             allow_bounded=allow_bounded,
+            approx_gelu=approx_gelu,
         )
         x = x.reshape(B, S, P, C)
         # camera re-injection into the camera token (slot 0)
@@ -372,6 +374,7 @@ def apply(
             drop_path_key=dp_key if dp_rate > 0.0 else None,
             kv_valid=kv_valid_tokens,
             allow_bounded=allow_bounded,
+            approx_gelu=approx_gelu,
         )
         return g.reshape(B, S, P, C)
 

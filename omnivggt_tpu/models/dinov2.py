@@ -83,7 +83,15 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pe, patch_pe], axis=1)
 
 
-def apply(params, images: jnp.ndarray, cfg: DinoV2Config, *, attn_impl: str = "auto", shard=None):
+def apply(
+    params,
+    images: jnp.ndarray,
+    cfg: DinoV2Config,
+    *,
+    attn_impl: str = "auto",
+    shard=None,
+    approx_gelu: bool = False,
+):
     """(B, H, W, 3) NHWC (already mean/std-normalised) -> (B, gh*gw, D)
     final-LayerNorm'd patch tokens."""
     B, H, W, _ = images.shape
@@ -113,6 +121,7 @@ def apply(params, images: jnp.ndarray, cfg: DinoV2Config, *, attn_impl: str = "a
             ln_eps=cfg.ln_eps,
             attn_impl=attn_impl,
             shard=shard,
+            approx_gelu=approx_gelu,
         )
         return x, None
 

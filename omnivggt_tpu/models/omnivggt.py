@@ -96,6 +96,7 @@ def apply(
         train_rng=train_rng,
         num_valid_frames=num_valid_frames,
         allow_bounded=cfg.bounded_attn_logits,
+        approx_gelu=cfg.approx_gelu,
     )
     # the buffer stays in the bf16 trunk dtype; each head upcasts the slice
     # (or frame chunk) it consumes — materialising the whole buffer at fp32
@@ -191,6 +192,48 @@ def make_aux(
     )
 
 
+def _probe_outputs(params, cfg: OmniVGGTConfig, probe_hw, probe_s):
+    """Forward on a small deterministic probe batch; numpy outputs."""
+    if probe_hw is None:
+        probe_hw = min(140, cfg.img_size)
+    probe_hw -= probe_hw % cfg.patch_size
+    images = jax.random.uniform(
+        jax.random.PRNGKey(0), (1, probe_s, probe_hw, probe_hw, 3), jnp.float32
+    )
+    out = jax.jit(lambda p, x: apply(p, x, cfg))(params, images)
+    return {
+        k: np.asarray(out[k])
+        for k in ("pose_enc", "depth", "world_points", "depth_conf")
+    }
+
+
+def _probe_failures(ref, fast, pose_tol, rel_tol):
+    """Dict of gate violations between two probe-output dicts (empty = pass):
+    max-abs on pose_enc, median relative error on the dense outputs."""
+
+    def med_rel(a, b, floor=1e-3):
+        a = a.astype(np.float64)
+        b = b.astype(np.float64)
+        return float(np.median(np.abs(a - b) / (np.abs(a) + floor)))
+
+    checks = {
+        "pose_enc_maxabs": (
+            float(np.max(np.abs(ref["pose_enc"] - fast["pose_enc"]))),
+            pose_tol,
+        ),
+        "depth_medrel": (med_rel(ref["depth"], fast["depth"]), rel_tol),
+        "points_medrel": (
+            med_rel(ref["world_points"], fast["world_points"]),
+            rel_tol,
+        ),
+        "depth_conf_medrel": (
+            med_rel(ref["depth_conf"], fast["depth_conf"]),
+            rel_tol,
+        ),
+    }
+    return {k: v for k, (v, tol) in checks.items() if v > tol}
+
+
 def certify_head_dtype(
     params,
     cfg: OmniVGGTConfig,
@@ -219,39 +262,12 @@ def certify_head_dtype(
     if cfg.head_dtype != "float32":
         return cfg  # caller already chose; nothing to certify
 
-    if probe_hw is None:
-        probe_hw = min(140, cfg.img_size)
-    probe_hw -= probe_hw % cfg.patch_size
-    key = jax.random.PRNGKey(0)
-    images = jax.random.uniform(
-        key, (1, probe_s, probe_hw, probe_hw, 3), jnp.float32
-    )
-
+    ref = _probe_outputs(params, cfg, probe_hw, probe_s)
     bf16_cfg = dataclasses.replace(cfg, head_dtype="bfloat16")
-    ref = jax.jit(lambda p, x: apply(p, x, cfg))(params, images)
-    fast = jax.jit(lambda p, x: apply(p, x, bf16_cfg))(params, images)
-
-    def med_rel(a, b, floor):
-        a = np.asarray(a, np.float64)
-        b = np.asarray(b, np.float64)
-        return float(np.median(np.abs(a - b) / (np.abs(a) + floor)))
-
-    pose_delta = float(
-        np.max(np.abs(np.asarray(ref["pose_enc"]) - np.asarray(fast["pose_enc"])))
+    failed = _probe_failures(
+        ref, _probe_outputs(params, bf16_cfg, probe_hw, probe_s),
+        pose_tol, rel_tol,
     )
-    checks = {
-        "pose_enc_maxabs": (pose_delta, pose_tol),
-        "depth_medrel": (med_rel(ref["depth"], fast["depth"], 1e-3), rel_tol),
-        "points_medrel": (
-            med_rel(ref["world_points"], fast["world_points"], 1e-3),
-            rel_tol,
-        ),
-        "depth_conf_medrel": (
-            med_rel(ref["depth_conf"], fast["depth_conf"], 1e-3),
-            rel_tol,
-        ),
-    }
-    failed = {k: v for k, (v, tol) in checks.items() if v > tol}
     if failed:
         import logging
 
@@ -261,6 +277,53 @@ def certify_head_dtype(
         )
         return cfg
     return bf16_cfg
+
+
+def certify_fast_modes(
+    params,
+    cfg: OmniVGGTConfig,
+    *,
+    probe_hw: Optional[int] = None,
+    probe_s: int = 2,
+    pose_tol: float = 2e-2,
+    rel_tol: float = 2e-2,
+) -> OmniVGGTConfig:
+    """Certify-then-default the fast serving modes, most aggressive first:
+
+      1. bf16 dense heads + tanh-GELU trunk  (~+15% vs reference parity)
+      2. bf16 dense heads                    (~+5%)
+      3. fp32 heads + exact erf GELU         (reference parity, fallback)
+
+    Each candidate's probe outputs are gated against the reference-parity
+    forward (same gates as certify_head_dtype); the first to pass wins.
+    Runs only when the caller has not already chosen a fast mode.
+    """
+    import dataclasses
+
+    if cfg.head_dtype != "float32" or cfg.approx_gelu:
+        return cfg  # caller already chose; nothing to certify
+
+    ref = _probe_outputs(params, cfg, probe_hw, probe_s)
+    candidates = [
+        dataclasses.replace(cfg, head_dtype="bfloat16", approx_gelu=True),
+        dataclasses.replace(cfg, head_dtype="bfloat16"),
+    ]
+    for cand in candidates:
+        failed = _probe_failures(
+            ref, _probe_outputs(params, cand, probe_hw, probe_s),
+            pose_tol, rel_tol,
+        )
+        if not failed:
+            return cand
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "fast-mode certification failed for head_dtype=%s approx_gelu=%s "
+            "(%s); trying the next fallback",
+            cand.head_dtype, cand.approx_gelu,
+            ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
+        )
+    return cfg
 
 
 def _certify_bounded_logits(config: OmniVGGTConfig, params) -> OmniVGGTConfig:
@@ -319,7 +382,7 @@ class OmniVGGT:
         params = load_safetensors_params(path, config)
         config = _certify_bounded_logits(config, params)
         if head_dtype == "auto":
-            config = certify_head_dtype(params, config)
+            config = certify_fast_modes(params, config)
         return cls(config, params)
 
     def save_pretrained(self, directory: str) -> str:
@@ -387,6 +450,7 @@ class OmniVGGT:
             ),
             compute_dtype=raw["compute_dtype"],
             head_dtype=raw.get("head_dtype", "float32"),
+            approx_gelu=raw.get("approx_gelu", False),
         )
         if head_dtype not in ("keep", "auto"):
             import dataclasses
@@ -398,8 +462,10 @@ class OmniVGGT:
         if head_dtype == "auto":
             import dataclasses
 
-            cfg = dataclasses.replace(cfg, head_dtype="float32")
-            cfg = certify_head_dtype(params, cfg)
+            cfg = dataclasses.replace(
+                cfg, head_dtype="float32", approx_gelu=False
+            )
+            cfg = certify_fast_modes(params, cfg)
         return cls(cfg, params)
 
     @classmethod

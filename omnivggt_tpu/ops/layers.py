@@ -76,15 +76,23 @@ def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def mlp(p, x: jnp.ndarray) -> jnp.ndarray:
-    """fc1 -> exact GELU -> fc2, or SwiGLU when the params carry w12/w3
-    (reference swiglu_ffn.py:14-34: silu(x1) * x2 through a fused w12)."""
+def mlp(p, x: jnp.ndarray, approx_gelu: bool = False) -> jnp.ndarray:
+    """fc1 -> GELU -> fc2, or SwiGLU when the params carry w12/w3
+    (reference swiglu_ffn.py:14-34: silu(x1) * x2 through a fused w12).
+
+    approx_gelu: tanh-form GELU instead of the reference's exact erf
+    (mlp.py:16-40 uses nn.GELU's default exact form). The tanh form's error
+    (<= ~3e-4 absolute) sits below bf16 rounding of the trunk activations,
+    while erf's high-degree polynomial costs real VPU time over the 4x-wide
+    hidden (measured +10% whole-model throughput at S=8). Off by default
+    (bit parity); checkpoint loading certifies it on via a probe batch
+    (models/omnivggt.certify_fast_modes)."""
     if "w12" in p:
         x12 = linear(p["w12"], x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
         return linear(p["w3"], jax.nn.silu(x1) * x2)
     h = linear(p["fc1"], x)
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=approx_gelu)
     return linear(p["fc2"], h)
 
 
@@ -256,6 +264,7 @@ def block(
     drop_path_key=None,
     kv_valid=None,
     allow_bounded: bool = True,
+    approx_gelu: bool = False,
 ) -> jnp.ndarray:
     """Pre-LN transformer block:
        x += DP(LS1(Attn(LN(x), rope))); x += DP(LS2(MLP(LN(x))))
@@ -281,7 +290,7 @@ def block(
     if use_dp:
         h = drop_path(dp1, h, drop_path_rate)
     x = x + h
-    h = mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps))
+    h = mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps), approx_gelu=approx_gelu)
     if "ls2" in p:
         h = h * p["ls2"]["gamma"].astype(h.dtype)
     if use_dp:

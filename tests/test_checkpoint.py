@@ -136,8 +136,10 @@ def test_from_safetensors_head_dtype_modes(tmp_path):
 
     auto = OmniVGGT.from_safetensors(path, _tiny_cfg())
     assert auto.config.head_dtype == "bfloat16"
+    assert auto.config.approx_gelu  # full fast mode certified
     forced = OmniVGGT.from_safetensors(path, _tiny_cfg(), head_dtype="float32")
     assert forced.config.head_dtype == "float32"
+    assert not forced.config.approx_gelu
 
 
 def test_from_pretrained_hub_path_clear_error():
@@ -146,3 +148,47 @@ def test_from_pretrained_hub_path_clear_error():
     about config.json."""
     with pytest.raises(RuntimeError, match="from_safetensors"):
         OmniVGGT.from_pretrained("someorg/OmniVGGT")
+
+
+def test_certify_fast_modes_ladder():
+    """certify_fast_modes defaults the most aggressive passing mode (bf16
+    heads + tanh GELU), and walks down the ladder as gates tighten."""
+    import dataclasses
+
+    from omnivggt_tpu.models.omnivggt import certify_fast_modes
+
+    cfg = tiny_test_config()
+    model = OmniVGGT(cfg, seed=0)
+
+    best = certify_fast_modes(model.params, cfg)
+    assert best.head_dtype == "bfloat16" and best.approx_gelu
+
+    # zero tolerance: every fast mode fails -> reference-parity config kept
+    strict = certify_fast_modes(model.params, cfg, pose_tol=0.0, rel_tol=0.0)
+    assert strict.head_dtype == "float32" and not strict.approx_gelu
+
+    # caller-chosen configs pass through untouched
+    forced = dataclasses.replace(cfg, approx_gelu=True)
+    assert certify_fast_modes(model.params, forced) is forced
+
+
+def test_approx_gelu_close_to_exact():
+    """The tanh-GELU trunk stays within the certification gates of the exact
+    form on a tiny model (the property the load-time probe checks)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from omnivggt_tpu.models import omnivggt as M
+
+    cfg = tiny_test_config()
+    model = OmniVGGT(cfg, seed=1)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(1, 2, 28, 28, 3)).astype(np.float32))
+
+    exact = M.apply(model.params, imgs, cfg)
+    approx = M.apply(
+        model.params, imgs, dataclasses.replace(cfg, approx_gelu=True)
+    )
+    d = float(np.max(np.abs(np.asarray(exact["pose_enc"]) - np.asarray(approx["pose_enc"]))))
+    assert d < 2e-2, d
