@@ -46,8 +46,8 @@ def parse_args():
                    help="store trunk weights in bf16 (~half the HBM, "
                         "<= ~1e-5 output delta; checkpoint.cast_trunk_params)")
     p.add_argument("--fp32_heads", action="store_true",
-                   help="force fp32 dense heads (skip the certify-then-default "
-                        "bf16-head probe run at checkpoint load)")
+                   help="force the reference-parity modes (fp32 dense heads, "
+                        "exact-erf GELU) instead of the certified fast modes")
     return p.parse_args()
 
 
@@ -84,7 +84,8 @@ def main():
             args.checkpoint,
             head_dtype="float32" if args.fp32_heads else "auto",
         )
-        print(f"head dtype: {model.config.head_dtype}")
+        print(f"head dtype: {model.config.head_dtype}  "
+              f"approx_gelu: {model.config.approx_gelu}")
     else:
         print(
             "WARNING: no --checkpoint given — running with random weights "

@@ -144,16 +144,21 @@ def main(argv=None):
     result["certified"] = {
         "bounded_attn_logits": model.config.bounded_attn_logits,
         "head_dtype": model.config.head_dtype,
+        "approx_gelu": model.config.approx_gelu,
     }
     print(f"      bounded_attn_logits={model.config.bounded_attn_logits} "
-          f"head_dtype={model.config.head_dtype}", flush=True)
+          f"head_dtype={model.config.head_dtype} "
+          f"approx_gelu={model.config.approx_gelu}", flush=True)
     # the 1e-3 torch-parity gate is defined on the reference-parity mode
     # (fp32 heads, omnivggt.py:45); the certified bf16-head serving default
     # trades ~1e-2 pose_enc deltas for throughput and is benched separately
     import dataclasses
 
     parity_model = OmniVGGT(
-        dataclasses.replace(model.config, head_dtype="float32"), model.params
+        dataclasses.replace(
+            model.config, head_dtype="float32", approx_gelu=False
+        ),
+        model.params,
     )
 
     # ---- 2. load scenes + JAX forwards ----------------------------------
