@@ -48,6 +48,9 @@ def parse_args():
     p.add_argument("--fp32_heads", action="store_true",
                    help="force the reference-parity modes (fp32 dense heads, "
                         "exact-erf GELU) instead of the certified fast modes")
+    p.add_argument("--no_int8_trunk", action="store_true",
+                   help="drop the W8A8 int8 trunk rung from the certified "
+                        "fast modes (keep bf16 heads / tanh GELU if certified)")
     return p.parse_args()
 
 
@@ -84,8 +87,16 @@ def main():
             args.checkpoint,
             head_dtype="float32" if args.fp32_heads else "auto",
         )
+        if args.no_int8_trunk and model.config.trunk_quant != "none":
+            import dataclasses
+
+            model = OmniVGGT(
+                dataclasses.replace(model.config, trunk_quant="none"),
+                model.params,
+            )
         print(f"head dtype: {model.config.head_dtype}  "
-              f"approx_gelu: {model.config.approx_gelu}")
+              f"approx_gelu: {model.config.approx_gelu}  "
+              f"trunk_quant: {model.config.trunk_quant}")
     else:
         print(
             "WARNING: no --checkpoint given — running with random weights "

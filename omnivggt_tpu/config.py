@@ -184,6 +184,13 @@ class OmniVGGTConfig:
     # off by default (bit parity), certified on at checkpoint load
     # (models/omnivggt.certify_fast_modes)
     approx_gelu: bool = False
+    # trunk dense-layer quantisation: "none" | "int8" (W8A8 — per-channel
+    # weight + dynamic per-row activation scales, int8 MXU matmuls at 2x the
+    # bf16 rate; ~1.3x measured on the trunk MLP shapes after quant/dequant
+    # overhead). Off by default; the checkpoint-load certification ladder
+    # (models/omnivggt.certify_fast_modes) enables it only when the probe
+    # deltas stay within the serving tolerance for the loaded weights.
+    trunk_quant: str = "none"
     # permit the fixed-max flash softmax for qk-normed attention (exact up to
     # float rounding while the weight-dependent logit bound holds; checkpoint
     # loading verifies the bound via utils/validation.qk_logit_bound and
@@ -215,6 +222,10 @@ class OmniVGGTConfig:
                     dim_in=2 * self.embed_dim,
                     patch_size=self.patch_size,
                 ),
+            )
+        if self.trunk_quant not in ("none", "int8"):
+            raise ValueError(
+                f"trunk_quant must be 'none' or 'int8', got {self.trunk_quant!r}"
             )
 
     @property

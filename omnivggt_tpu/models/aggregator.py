@@ -203,6 +203,7 @@ def apply(
     num_valid_frames=None,
     allow_bounded: bool = True,
     approx_gelu: bool = False,
+    int8_dense: bool = False,
 ):
     """Run the aggregator.
 
@@ -245,7 +246,7 @@ def apply(
     else:
         patch_tokens = dinov2.apply(
             params["patch_embed"], imgs, cfg.backbone, attn_impl=attn_impl,
-            shard=frame_shard, approx_gelu=approx_gelu,
+            shard=frame_shard, approx_gelu=approx_gelu, int8_dense=int8_dense,
         )
 
     camera_token = _expand_special_token(params["camera_token"], B, S, dtype)  # (B,S,1,C)
@@ -348,6 +349,7 @@ def apply(
             drop_path_key=dp_key if dp_rate > 0.0 else None,
             allow_bounded=allow_bounded,
             approx_gelu=approx_gelu,
+            int8_dense=int8_dense,
         )
         x = x.reshape(B, S, P, C)
         # camera re-injection into the camera token (slot 0)
@@ -375,6 +377,7 @@ def apply(
             kv_valid=kv_valid_tokens,
             allow_bounded=allow_bounded,
             approx_gelu=approx_gelu,
+            int8_dense=int8_dense,
         )
         return g.reshape(B, S, P, C)
 

@@ -91,6 +91,7 @@ def apply(
     attn_impl: str = "auto",
     shard=None,
     approx_gelu: bool = False,
+    int8_dense: bool = False,
 ):
     """(B, H, W, 3) NHWC (already mean/std-normalised) -> (B, gh*gw, D)
     final-LayerNorm'd patch tokens."""
@@ -122,6 +123,7 @@ def apply(
             attn_impl=attn_impl,
             shard=shard,
             approx_gelu=approx_gelu,
+            int8_dense=int8_dense,
         )
         return x, None
 

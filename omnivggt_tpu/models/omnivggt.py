@@ -97,6 +97,7 @@ def apply(
         num_valid_frames=num_valid_frames,
         allow_bounded=cfg.bounded_attn_logits,
         approx_gelu=cfg.approx_gelu,
+        int8_dense=cfg.trunk_quant == "int8",
     )
     # the buffer stays in the bf16 trunk dtype; each head upcasts the slice
     # (or frame chunk) it consumes — materialising the whole buffer at fp32
@@ -290,9 +291,10 @@ def certify_fast_modes(
 ) -> OmniVGGTConfig:
     """Certify-then-default the fast serving modes, most aggressive first:
 
-      1. bf16 dense heads + tanh-GELU trunk  (~+15% vs reference parity)
-      2. bf16 dense heads                    (~+5%)
-      3. fp32 heads + exact erf GELU         (reference parity, fallback)
+      1. int8 trunk + bf16 heads + tanh GELU  (W8A8 dense, 2x-rate MXU)
+      2. bf16 dense heads + tanh-GELU trunk   (~+15% vs reference parity)
+      3. bf16 dense heads                     (~+5%)
+      4. fp32 heads + exact erf GELU          (reference parity, fallback)
 
     Each candidate's probe outputs are gated against the reference-parity
     forward (same gates as certify_head_dtype); the first to pass wins.
@@ -300,11 +302,14 @@ def certify_fast_modes(
     """
     import dataclasses
 
-    if cfg.head_dtype != "float32" or cfg.approx_gelu:
+    if cfg.head_dtype != "float32" or cfg.approx_gelu or cfg.trunk_quant != "none":
         return cfg  # caller already chose; nothing to certify
 
     ref = _probe_outputs(params, cfg, probe_hw, probe_s)
     candidates = [
+        dataclasses.replace(
+            cfg, head_dtype="bfloat16", approx_gelu=True, trunk_quant="int8"
+        ),
         dataclasses.replace(cfg, head_dtype="bfloat16", approx_gelu=True),
         dataclasses.replace(cfg, head_dtype="bfloat16"),
     ]
@@ -319,8 +324,8 @@ def certify_fast_modes(
 
         logging.getLogger(__name__).warning(
             "fast-mode certification failed for head_dtype=%s approx_gelu=%s "
-            "(%s); trying the next fallback",
-            cand.head_dtype, cand.approx_gelu,
+            "trunk_quant=%s (%s); trying the next fallback",
+            cand.head_dtype, cand.approx_gelu, cand.trunk_quant,
             ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
         )
     return cfg
@@ -451,6 +456,7 @@ class OmniVGGT:
             compute_dtype=raw["compute_dtype"],
             head_dtype=raw.get("head_dtype", "float32"),
             approx_gelu=raw.get("approx_gelu", False),
+            trunk_quant=raw.get("trunk_quant", "none"),
         )
         if head_dtype not in ("keep", "auto"):
             import dataclasses
@@ -463,7 +469,7 @@ class OmniVGGT:
             import dataclasses
 
             cfg = dataclasses.replace(
-                cfg, head_dtype="float32", approx_gelu=False
+                cfg, head_dtype="float32", approx_gelu=False, trunk_quant="none"
             )
             cfg = certify_fast_modes(params, cfg)
         return cls(cfg, params)

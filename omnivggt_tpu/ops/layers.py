@@ -65,6 +65,43 @@ def linear(p, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def qlinear_int8(p, x: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 dense: per-(out-)channel weight quant, dynamic per-row activation
+    quant, int8xint8->int32 on the MXU, dequant + bias in the epilogue.
+
+    The v5e MXU runs int8 at 2x the bf16 rate (measured 340 TOPS vs 183
+    TFLOPs through this host's tunnel; 1.3x end-to-end on the trunk MLP
+    shapes once the quant/dequant VPU passes are paid). Weights are
+    quantised at trace time from the fp32/bf16 params — a 1/N-of-the-matmul
+    cost — so no checkpoint transform or separate int8 param tree exists;
+    `config.trunk_quant` alone decides the path and the certification
+    ladder (models/omnivggt.certify_fast_modes) gates it on real weights.
+    """
+    w = p["w"]
+    ws = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0, keepdims=True)
+    ws = jnp.maximum(ws, 1e-12) / 127.0  # (1, out)
+    wq = jnp.round(w.astype(jnp.float32) / ws).astype(jnp.int8)
+
+    ax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+    ax = jnp.maximum(ax, 1e-12) / 127.0  # (..., 1)
+    xq = jnp.round(x.astype(jnp.float32) / ax).astype(jnp.int8)
+
+    y = jax.lax.dot_general(
+        xq, wq,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * ax * ws
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def dense(p, x: jnp.ndarray, int8: bool = False) -> jnp.ndarray:
+    """linear() or qlinear_int8() on one flag (the trunk-quant dispatch)."""
+    return qlinear_int8(p, x) if int8 else linear(p, x)
+
+
 def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the last axis; statistics in fp32 regardless of x.dtype."""
     xf = x.astype(jnp.float32)
@@ -76,7 +113,7 @@ def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def mlp(p, x: jnp.ndarray, approx_gelu: bool = False) -> jnp.ndarray:
+def mlp(p, x: jnp.ndarray, approx_gelu: bool = False, int8_dense: bool = False) -> jnp.ndarray:
     """fc1 -> GELU -> fc2, or SwiGLU when the params carry w12/w3
     (reference swiglu_ffn.py:14-34: silu(x1) * x2 through a fused w12).
 
@@ -88,12 +125,12 @@ def mlp(p, x: jnp.ndarray, approx_gelu: bool = False) -> jnp.ndarray:
     (bit parity); checkpoint loading certifies it on via a probe batch
     (models/omnivggt.certify_fast_modes)."""
     if "w12" in p:
-        x12 = linear(p["w12"], x)
+        x12 = dense(p["w12"], x, int8_dense)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return linear(p["w3"], jax.nn.silu(x1) * x2)
-    h = linear(p["fc1"], x)
+        return dense(p["w3"], jax.nn.silu(x1) * x2, int8_dense)
+    h = dense(p["fc1"], x, int8_dense)
     h = jax.nn.gelu(h, approximate=approx_gelu)
-    return linear(p["fc2"], h)
+    return dense(p["fc2"], h, int8_dense)
 
 
 def swiglu_hidden_fused(hidden_features: int) -> int:
@@ -157,6 +194,7 @@ def attention(
     shard=None,
     kv_valid=None,
     allow_bounded: bool = True,
+    int8_dense: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention with fused QKV, optional per-head-dim q/k
     LayerNorm, and 2D RoPE applied to q and k.
@@ -174,7 +212,7 @@ def attention(
     """
     B, N, C = x.shape
     head_dim = C // num_heads
-    qkv = linear(p["qkv"], x).reshape(B, N, 3, num_heads, head_dim)
+    qkv = dense(p["qkv"], x, int8_dense).reshape(B, N, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
     if "q_norm" in p:
@@ -204,7 +242,7 @@ def attention(
             q, k, v, impl=impl, kv_valid=kv_valid, bounded_logits=bounded
         )  # (B, N, H, D)
     o = o.reshape(B, N, C)
-    return linear(p["proj"], o)
+    return dense(p["proj"], o, int8_dense)
 
 
 def block_init(
@@ -265,6 +303,7 @@ def block(
     kv_valid=None,
     allow_bounded: bool = True,
     approx_gelu: bool = False,
+    int8_dense: bool = False,
 ) -> jnp.ndarray:
     """Pre-LN transformer block:
        x += DP(LS1(Attn(LN(x), rope))); x += DP(LS2(MLP(LN(x))))
@@ -284,13 +323,14 @@ def block(
         shard=shard,
         kv_valid=kv_valid,
         allow_bounded=allow_bounded,
+        int8_dense=int8_dense,
     )
     if "ls1" in p:
         h = h * p["ls1"]["gamma"].astype(h.dtype)
     if use_dp:
         h = drop_path(dp1, h, drop_path_rate)
     x = x + h
-    h = mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps), approx_gelu=approx_gelu)
+    h = mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps), approx_gelu=approx_gelu, int8_dense=int8_dense)
     if "ls2" in p:
         h = h * p["ls2"]["gamma"].astype(h.dtype)
     if use_dp:

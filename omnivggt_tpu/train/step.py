@@ -77,6 +77,12 @@ def make_train_step(
     Stochastic depth (cfg.aggregator.drop_path_rate > 0) draws a fresh rng
     per step by folding the step counter into `seed`.
     """
+    if cfg.trunk_quant != "none":
+        # the W8A8 path's round() has a zero gradient — it is a serving mode
+        raise ValueError(
+            "trunk_quant is a serving-only fast mode (round() kills the "
+            "gradient); train with trunk_quant='none'"
+        )
     base_rng = jax.random.PRNGKey(seed)
 
     def loss_fn(params, batch, step):

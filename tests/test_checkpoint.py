@@ -163,13 +163,22 @@ def test_certify_fast_modes_ladder():
     best = certify_fast_modes(model.params, cfg)
     assert best.head_dtype == "bfloat16" and best.approx_gelu
 
+    # gates loose enough for 8-bit quantisation noise admit the W8A8 rung
+    # (on tiny random weights the default 2e-2 gate may legitimately reject
+    # int8 — the ladder then falls back, as asserted above)
+    loose = certify_fast_modes(model.params, cfg, pose_tol=0.2, rel_tol=0.2)
+    assert loose.trunk_quant == "int8" and loose.head_dtype == "bfloat16"
+
     # zero tolerance: every fast mode fails -> reference-parity config kept
     strict = certify_fast_modes(model.params, cfg, pose_tol=0.0, rel_tol=0.0)
     assert strict.head_dtype == "float32" and not strict.approx_gelu
+    assert strict.trunk_quant == "none"
 
     # caller-chosen configs pass through untouched
     forced = dataclasses.replace(cfg, approx_gelu=True)
     assert certify_fast_modes(model.params, forced) is forced
+    forced_q = dataclasses.replace(cfg, trunk_quant="int8")
+    assert certify_fast_modes(model.params, forced_q) is forced_q
 
 
 def test_approx_gelu_close_to_exact():
@@ -192,3 +201,39 @@ def test_approx_gelu_close_to_exact():
     )
     d = float(np.max(np.abs(np.asarray(exact["pose_enc"]) - np.asarray(approx["pose_enc"]))))
     assert d < 2e-2, d
+
+
+def test_int8_trunk_close_to_fp32():
+    """The W8A8 trunk's pose deltas stay at the 8-bit quantisation level on
+    a tiny model (a few percent; the load-time probe decides per-checkpoint
+    whether that clears the serving gate), and training refuses the
+    quantised config (round() kills the gradient)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from omnivggt_tpu.models import omnivggt as M
+
+    cfg = tiny_test_config()
+    model = OmniVGGT(cfg, seed=1)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(1, 2, 28, 28, 3)).astype(np.float32))
+
+    exact = M.apply(model.params, imgs, cfg)
+    quant = M.apply(
+        model.params, imgs, dataclasses.replace(cfg, trunk_quant="int8")
+    )
+    d = float(np.max(np.abs(np.asarray(exact["pose_enc"]) - np.asarray(quant["pose_enc"]))))
+    assert 0 < d < 1e-1, d
+
+    import optax
+
+    from omnivggt_tpu.train.step import make_train_step
+
+    with pytest.raises(ValueError, match="serving-only"):
+        make_train_step(
+            dataclasses.replace(cfg, trunk_quant="int8"), optax.sgd(1e-3)
+        )
+
+    with pytest.raises(ValueError, match="trunk_quant"):
+        dataclasses.replace(cfg, trunk_quant="int4")

@@ -520,3 +520,36 @@ def test_flash_fused_backward_ragged_and_lse():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3, err_msg=name
         )
+
+
+def test_qlinear_int8_exact_on_integer_grid():
+    """W8A8 exactness property: when activations and weights already sit on
+    their int8 quantisation grids (max|.| maps to 127), qlinear_int8 equals
+    the fp32 linear bit-for-bit bar the final dtype cast."""
+    rng = np.random.default_rng(0)
+    x = rng.integers(-127, 128, size=(4, 32)).astype(np.float32)
+    x[:, 0] = 127.0  # pin every row max so ax exactly scales the int grid
+    w = rng.integers(-127, 128, size=(32, 16)).astype(np.float32)
+    w[0, :] = 127.0
+    b = rng.normal(size=(16,)).astype(np.float32)
+    p = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    got = np.asarray(L.qlinear_int8(p, jnp.asarray(x)))
+    want = x @ w + b
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_qlinear_int8_close_and_batched():
+    """Random-data error stays at the 8-bit quantisation level, on both 2D
+    and 3D (batched tokens) inputs, in fp32 and bf16."""
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(64, 48)).astype(np.float32) * 0.05
+    b = rng.normal(size=(48,)).astype(np.float32) * 0.01
+    p = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    for shape in ((8, 64), (2, 5, 64)):
+        for dt in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(dt)
+            got = np.asarray(L.qlinear_int8(p, x)).astype(np.float32)
+            want = np.asarray(L.linear(p, x)).astype(np.float32)
+            assert got.dtype == want.dtype and got.shape == want.shape
+            scale = np.abs(want).max()
+            assert np.abs(got - want).max() < 0.03 * scale + 1e-4
