@@ -223,9 +223,10 @@ class OmniVGGTConfig:
                     patch_size=self.patch_size,
                 ),
             )
-        if self.trunk_quant not in ("none", "int8"):
+        if self.trunk_quant not in ("none", "int8", "int8_ln"):
             raise ValueError(
-                f"trunk_quant must be 'none' or 'int8', got {self.trunk_quant!r}"
+                "trunk_quant must be 'none', 'int8', or 'int8_ln', "
+                f"got {self.trunk_quant!r}"
             )
 
     @property

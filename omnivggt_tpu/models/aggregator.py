@@ -203,7 +203,7 @@ def apply(
     num_valid_frames=None,
     allow_bounded: bool = True,
     approx_gelu: bool = False,
-    int8_dense: bool = False,
+    int8_dense=False,
 ):
     """Run the aggregator.
 

@@ -91,7 +91,7 @@ def apply(
     attn_impl: str = "auto",
     shard=None,
     approx_gelu: bool = False,
-    int8_dense: bool = False,
+    int8_dense=False,
 ):
     """(B, H, W, 3) NHWC (already mean/std-normalised) -> (B, gh*gw, D)
     final-LayerNorm'd patch tokens."""

@@ -97,7 +97,7 @@ def apply(
         num_valid_frames=num_valid_frames,
         allow_bounded=cfg.bounded_attn_logits,
         approx_gelu=cfg.approx_gelu,
-        int8_dense=cfg.trunk_quant == "int8",
+        int8_dense=cfg.trunk_quant,
     )
     # the buffer stays in the bf16 trunk dtype; each head upcasts the slice
     # (or frame chunk) it consumes — materialising the whole buffer at fp32
@@ -291,10 +291,15 @@ def certify_fast_modes(
 ) -> OmniVGGTConfig:
     """Certify-then-default the fast serving modes, most aggressive first:
 
-      1. int8 trunk + bf16 heads + tanh GELU  (W8A8 dense, 2x-rate MXU)
-      2. bf16 dense heads + tanh-GELU trunk   (~+15% vs reference parity)
-      3. bf16 dense heads                     (~+5%)
-      4. fp32 heads + exact erf GELU          (reference parity, fallback)
+      1. int8 trunk + bf16 heads + tanh GELU     (W8A8 dense, 2x-rate MXU;
+         18.86 views/s S=8)
+      2. int8_ln trunk + bf16 heads + tanh GELU  (qkv/fc1 only — the
+         LayerNorm-fed matmuls, whose outputs pass through qk-norm / GELU
+         rather than writing the residual stream; 18.40 views/s at ~0.6x
+         the full-int8 pose delta — 0.036 vs 0.060 on random flagship init)
+      3. bf16 dense heads + tanh-GELU trunk      (17.60 views/s)
+      4. bf16 dense heads                        (15.31 views/s)
+      5. fp32 heads + exact erf GELU             (reference parity, fallback)
 
     Each candidate's probe outputs are gated against the reference-parity
     forward (same gates as certify_head_dtype); the first to pass wins.
@@ -309,6 +314,9 @@ def certify_fast_modes(
     candidates = [
         dataclasses.replace(
             cfg, head_dtype="bfloat16", approx_gelu=True, trunk_quant="int8"
+        ),
+        dataclasses.replace(
+            cfg, head_dtype="bfloat16", approx_gelu=True, trunk_quant="int8_ln"
         ),
         dataclasses.replace(cfg, head_dtype="bfloat16", approx_gelu=True),
         dataclasses.replace(cfg, head_dtype="bfloat16"),

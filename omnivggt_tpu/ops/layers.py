@@ -102,6 +102,22 @@ def dense(p, x: jnp.ndarray, int8: bool = False) -> jnp.ndarray:
     return qlinear_int8(p, x) if int8 else linear(p, x)
 
 
+def _quant_gates(trunk_quant):
+    """(quantize_ln_fed, quantize_residual_writers) for a trunk_quant mode.
+
+    "int8" quantises all four block matmuls; "int8_ln" only qkv and fc1 —
+    their inputs are LayerNorm outputs (bounded, well-conditioned for 8-bit
+    grids) and their outputs pass through qk-norm / GELU rather than writing
+    the residual stream directly, so the quantisation noise that reaches the
+    stream is second-order. Half the speedup of full int8, a fraction of the
+    error."""
+    if trunk_quant in (True, "int8"):
+        return True, True
+    if trunk_quant == "int8_ln":
+        return True, False
+    return False, False
+
+
 def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """LayerNorm over the last axis; statistics in fp32 regardless of x.dtype."""
     xf = x.astype(jnp.float32)
@@ -113,7 +129,7 @@ def layer_norm(p, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def mlp(p, x: jnp.ndarray, approx_gelu: bool = False, int8_dense: bool = False) -> jnp.ndarray:
+def mlp(p, x: jnp.ndarray, approx_gelu: bool = False, int8_dense=False) -> jnp.ndarray:
     """fc1 -> GELU -> fc2, or SwiGLU when the params carry w12/w3
     (reference swiglu_ffn.py:14-34: silu(x1) * x2 through a fused w12).
 
@@ -124,13 +140,14 @@ def mlp(p, x: jnp.ndarray, approx_gelu: bool = False, int8_dense: bool = False) 
     hidden (measured +10% whole-model throughput at S=8). Off by default
     (bit parity); checkpoint loading certifies it on via a probe batch
     (models/omnivggt.certify_fast_modes)."""
+    q_ln, q_res = _quant_gates(int8_dense)
     if "w12" in p:
-        x12 = dense(p["w12"], x, int8_dense)
+        x12 = dense(p["w12"], x, q_ln)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return dense(p["w3"], jax.nn.silu(x1) * x2, int8_dense)
-    h = dense(p["fc1"], x, int8_dense)
+        return dense(p["w3"], jax.nn.silu(x1) * x2, q_res)
+    h = dense(p["fc1"], x, q_ln)
     h = jax.nn.gelu(h, approximate=approx_gelu)
-    return dense(p["fc2"], h, int8_dense)
+    return dense(p["fc2"], h, q_res)
 
 
 def swiglu_hidden_fused(hidden_features: int) -> int:
@@ -194,7 +211,7 @@ def attention(
     shard=None,
     kv_valid=None,
     allow_bounded: bool = True,
-    int8_dense: bool = False,
+    int8_dense=False,
 ) -> jnp.ndarray:
     """Multi-head self-attention with fused QKV, optional per-head-dim q/k
     LayerNorm, and 2D RoPE applied to q and k.
@@ -212,7 +229,8 @@ def attention(
     """
     B, N, C = x.shape
     head_dim = C // num_heads
-    qkv = dense(p["qkv"], x, int8_dense).reshape(B, N, 3, num_heads, head_dim)
+    q_ln, q_res = _quant_gates(int8_dense)
+    qkv = dense(p["qkv"], x, q_ln).reshape(B, N, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
     if "q_norm" in p:
@@ -242,7 +260,7 @@ def attention(
             q, k, v, impl=impl, kv_valid=kv_valid, bounded_logits=bounded
         )  # (B, N, H, D)
     o = o.reshape(B, N, C)
-    return dense(p["proj"], o, int8_dense)
+    return dense(p["proj"], o, q_res)
 
 
 def block_init(
@@ -303,7 +321,7 @@ def block(
     kv_valid=None,
     allow_bounded: bool = True,
     approx_gelu: bool = False,
-    int8_dense: bool = False,
+    int8_dense=False,
 ) -> jnp.ndarray:
     """Pre-LN transformer block:
        x += DP(LS1(Attn(LN(x), rope))); x += DP(LS2(MLP(LN(x))))

@@ -150,3 +150,36 @@ def test_fused_ring_oversize_falls_back_logged(caplog):
     assert any("falling back to the unfused" in r.message for r in caplog.records)
     ref = np.asarray(_attention_xla(q, k, v))
     np.testing.assert_allclose(ref, np.asarray(out), atol=2e-5)
+
+
+@needs_8dev
+def test_sharded_int8_trunk_matches_single_device():
+    """W8A8 trunk forward on the (1, 8) mesh == single-device W8A8 forward.
+    The dynamic activation scales are per-row (last-axis max), so sequence
+    sharding cannot change them; this pins that the quantised dense path
+    composes with the sharded attention strategies."""
+    import dataclasses
+
+    from omnivggt_tpu.config import tiny_test_config
+    from omnivggt_tpu.models import omnivggt as M
+
+    cfg = dataclasses.replace(tiny_test_config(), trunk_quant="int8")
+    params = M.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(size=(1, 8, 28, 28, 3)).astype(np.float32))
+
+    ref = M.apply(params, images, cfg)
+
+    mesh = make_mesh(data=1, seq=8)
+    sharding = ModelSharding(mesh, global_attn="allgather")
+    images_sharded = shard_batch(mesh, images)
+    out = jax.jit(lambda p, im: M.apply(p, im, cfg, sharding=sharding))(
+        params, images_sharded
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(ref["pose_enc"]), np.asarray(out["pose_enc"]), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["depth"]), np.asarray(out["depth"]), atol=5e-5, rtol=1e-5
+    )
