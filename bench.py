@@ -89,6 +89,9 @@ def main():
         # BENCH_TRUNK_QUANT=int8 benches the W8A8 trunk serving mode
         # (2x-rate int8 MXU; certified per-checkpoint by certify_fast_modes)
         trunk_quant=os.environ.get("BENCH_TRUNK_QUANT", "none"),
+        # int8-qk flash score matmuls (certified-by-default serving mode;
+        # BENCH_ATTN_QUANT=none for the bf16 score path)
+        attn_quant=os.environ.get("BENCH_ATTN_QUANT", "int8"),
     )
 
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))

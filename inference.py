@@ -51,6 +51,9 @@ def parse_args():
     p.add_argument("--no_int8_trunk", action="store_true",
                    help="drop the W8A8 int8 trunk rung from the certified "
                         "fast modes (keep bf16 heads / tanh GELU if certified)")
+    p.add_argument("--no_attn_quant", action="store_true",
+                   help="drop the int8-qk attention-score quantisation from "
+                        "the certified fast modes")
     return p.parse_args()
 
 
@@ -87,16 +90,21 @@ def main():
             args.checkpoint,
             head_dtype="float32" if args.fp32_heads else "auto",
         )
+        overrides = {}
         if args.no_int8_trunk and model.config.trunk_quant != "none":
+            overrides["trunk_quant"] = "none"
+        if args.no_attn_quant and model.config.attn_quant != "none":
+            overrides["attn_quant"] = "none"
+        if overrides:
             import dataclasses
 
             model = OmniVGGT(
-                dataclasses.replace(model.config, trunk_quant="none"),
-                model.params,
+                dataclasses.replace(model.config, **overrides), model.params
             )
         print(f"head dtype: {model.config.head_dtype}  "
               f"approx_gelu: {model.config.approx_gelu}  "
-              f"trunk_quant: {model.config.trunk_quant}")
+              f"trunk_quant: {model.config.trunk_quant}  "
+              f"attn_quant: {model.config.attn_quant}")
     else:
         print(
             "WARNING: no --checkpoint given — running with random weights "

@@ -191,6 +191,14 @@ class OmniVGGTConfig:
     # (models/omnivggt.certify_fast_modes) enables it only when the probe
     # deltas stay within the serving tolerance for the loaded weights.
     trunk_quant: str = "none"
+    # attention score-matmul quantisation: "none" | "int8" — the flash
+    # kernel quantises q/k per head (symmetric max-abs) and runs q @ k^T on
+    # the 2x-rate int8 MXU, dequantising with a per-head scalar fused into
+    # the exp pass (ops/pallas/flash_attention.py qk_int8). Measured -25%
+    # kernel time at the global-attention shape with ~1e-4 output deltas on
+    # qk-normed inputs. Serving-only; certified per-checkpoint by the same
+    # ladder as trunk_quant.
+    attn_quant: str = "none"
     # permit the fixed-max flash softmax for qk-normed attention (exact up to
     # float rounding while the weight-dependent logit bound holds; checkpoint
     # loading verifies the bound via utils/validation.qk_logit_bound and
@@ -227,6 +235,10 @@ class OmniVGGTConfig:
             raise ValueError(
                 "trunk_quant must be 'none', 'int8', or 'int8_ln', "
                 f"got {self.trunk_quant!r}"
+            )
+        if self.attn_quant not in ("none", "int8"):
+            raise ValueError(
+                f"attn_quant must be 'none' or 'int8', got {self.attn_quant!r}"
             )
 
     @property

@@ -204,6 +204,7 @@ def apply(
     allow_bounded: bool = True,
     approx_gelu: bool = False,
     int8_dense=False,
+    int8_qk: bool = False,
 ):
     """Run the aggregator.
 
@@ -247,6 +248,7 @@ def apply(
         patch_tokens = dinov2.apply(
             params["patch_embed"], imgs, cfg.backbone, attn_impl=attn_impl,
             shard=frame_shard, approx_gelu=approx_gelu, int8_dense=int8_dense,
+            int8_qk=int8_qk,
         )
 
     camera_token = _expand_special_token(params["camera_token"], B, S, dtype)  # (B,S,1,C)
@@ -350,6 +352,7 @@ def apply(
             allow_bounded=allow_bounded,
             approx_gelu=approx_gelu,
             int8_dense=int8_dense,
+            int8_qk=int8_qk,
         )
         x = x.reshape(B, S, P, C)
         # camera re-injection into the camera token (slot 0)
@@ -378,6 +381,7 @@ def apply(
             allow_bounded=allow_bounded,
             approx_gelu=approx_gelu,
             int8_dense=int8_dense,
+            int8_qk=int8_qk,
         )
         return g.reshape(B, S, P, C)
 

@@ -92,6 +92,7 @@ def apply(
     shard=None,
     approx_gelu: bool = False,
     int8_dense=False,
+    int8_qk: bool = False,
 ):
     """(B, H, W, 3) NHWC (already mean/std-normalised) -> (B, gh*gw, D)
     final-LayerNorm'd patch tokens."""
@@ -124,6 +125,7 @@ def apply(
             shard=shard,
             approx_gelu=approx_gelu,
             int8_dense=int8_dense,
+            int8_qk=int8_qk,
         )
         return x, None
 

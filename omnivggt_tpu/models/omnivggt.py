@@ -98,6 +98,7 @@ def apply(
         allow_bounded=cfg.bounded_attn_logits,
         approx_gelu=cfg.approx_gelu,
         int8_dense=cfg.trunk_quant,
+        int8_qk=cfg.attn_quant == "int8",
     )
     # the buffer stays in the bf16 trunk dtype; each head upcasts the slice
     # (or frame chunk) it consumes — materialising the whole buffer at fp32
@@ -292,22 +293,27 @@ def certify_fast_modes(
     """Certify-then-default the fast serving modes, most aggressive first:
 
       1. int8 trunk + bf16 heads + tanh GELU     (W8A8 dense, 2x-rate MXU;
-         18.86 views/s S=8)
+         20.47 views/s S=8 with the attn upgrade below, 18.86 without)
       2. int8_ln trunk + bf16 heads + tanh GELU  (qkv/fc1 only — the
          LayerNorm-fed matmuls, whose outputs pass through qk-norm / GELU
          rather than writing the residual stream; 18.40 views/s at ~0.6x
          the full-int8 pose delta — 0.036 vs 0.060 on random flagship init)
-      3. bf16 dense heads + tanh-GELU trunk      (17.60 views/s)
+      3. bf16 dense heads + tanh-GELU trunk      (19.24 views/s with the
+         attn upgrade, 17.60 without)
       4. bf16 dense heads                        (15.31 views/s)
       5. fp32 heads + exact erf GELU             (reference parity, fallback)
 
     Each candidate's probe outputs are gated against the reference-parity
     forward (same gates as certify_head_dtype); the first to pass wins.
-    Runs only when the caller has not already chosen a fast mode.
+    Independently, the winner is probed once more with attn_quant="int8"
+    (int8-qk flash score matmuls, ~1e-4 deltas on qk-normed inputs) and
+    keeps the upgrade when the gates still pass. Runs only when the caller
+    has not already chosen a fast mode.
     """
     import dataclasses
 
-    if cfg.head_dtype != "float32" or cfg.approx_gelu or cfg.trunk_quant != "none":
+    if (cfg.head_dtype != "float32" or cfg.approx_gelu
+            or cfg.trunk_quant != "none" or cfg.attn_quant != "none"):
         return cfg  # caller already chose; nothing to certify
 
     ref = _probe_outputs(params, cfg, probe_hw, probe_s)
@@ -321,13 +327,15 @@ def certify_fast_modes(
         dataclasses.replace(cfg, head_dtype="bfloat16", approx_gelu=True),
         dataclasses.replace(cfg, head_dtype="bfloat16"),
     ]
+    best = cfg
     for cand in candidates:
         failed = _probe_failures(
             ref, _probe_outputs(params, cand, probe_hw, probe_s),
             pose_tol, rel_tol,
         )
         if not failed:
-            return cand
+            best = cand
+            break
         import logging
 
         logging.getLogger(__name__).warning(
@@ -336,7 +344,25 @@ def certify_fast_modes(
             cand.head_dtype, cand.approx_gelu, cand.trunk_quant,
             ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
         )
-    return cfg
+
+    # attn_quant upgrade probe: orthogonal to the trunk ladder; its error is
+    # an order of magnitude below the other fast modes, so it is attempted
+    # on whatever won above (including the parity fallback) and kept only
+    # when the same gates pass
+    upgraded = dataclasses.replace(best, attn_quant="int8")
+    failed = _probe_failures(
+        ref, _probe_outputs(params, upgraded, probe_hw, probe_s),
+        pose_tol, rel_tol,
+    )
+    if not failed:
+        return upgraded
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "attn_quant=int8 certification failed (%s); keeping attn_quant=none",
+        ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
+    )
+    return best
 
 
 def _certify_bounded_logits(config: OmniVGGTConfig, params) -> OmniVGGTConfig:
@@ -465,6 +491,7 @@ class OmniVGGT:
             head_dtype=raw.get("head_dtype", "float32"),
             approx_gelu=raw.get("approx_gelu", False),
             trunk_quant=raw.get("trunk_quant", "none"),
+            attn_quant=raw.get("attn_quant", "none"),
         )
         if head_dtype not in ("keep", "auto"):
             import dataclasses
@@ -477,7 +504,8 @@ class OmniVGGT:
             import dataclasses
 
             cfg = dataclasses.replace(
-                cfg, head_dtype="float32", approx_gelu=False, trunk_quant="none"
+                cfg, head_dtype="float32", approx_gelu=False,
+                trunk_quant="none", attn_quant="none",
             )
             cfg = certify_fast_modes(params, cfg)
         return cls(cfg, params)

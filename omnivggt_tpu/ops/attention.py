@@ -129,7 +129,9 @@ def resolve_impl(shape, impl: str = "auto") -> str:
     return "blockwise"
 
 
-@functools.partial(jax.jit, static_argnames=("impl", "bounded_logits"))
+@functools.partial(
+    jax.jit, static_argnames=("impl", "bounded_logits", "qk_int8")
+)
 def scaled_dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -137,6 +139,7 @@ def scaled_dot_product_attention(
     impl: str = "auto",
     kv_valid=None,
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Non-causal multi-head attention over (B, N, H, D) tensors.
 
@@ -146,7 +149,12 @@ def scaled_dot_product_attention(
 
     bounded_logits: caller-guaranteed |scores| << 80 (qk-normed inputs); lets
     the flash kernel skip its running-max pass. Ignored by the xla/blockwise
-    implementations (their softmax is already fused by XLA)."""
+    implementations (their softmax is already fused by XLA).
+
+    qk_int8: run the flash kernel's score matmul W8A8 on the 2x-rate int8
+    MXU (serving-only; certified per-checkpoint). Only the flash impl honors
+    it — xla/blockwise sequences are short/fallback paths where the per-head
+    quantisation pass would not pay for itself."""
     impl = resolve_impl(q.shape, impl)
     if impl == "xla":
         return _attention_xla(q, k, v, kv_valid=kv_valid)
@@ -156,6 +164,7 @@ def scaled_dot_product_attention(
         from omnivggt_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, kv_valid=kv_valid, bounded_logits=bounded_logits
+            q, k, v, kv_valid=kv_valid, bounded_logits=bounded_logits,
+            qk_int8=qk_int8,
         )
     raise ValueError(f"unknown attention impl: {impl}")

@@ -212,6 +212,7 @@ def attention(
     kv_valid=None,
     allow_bounded: bool = True,
     int8_dense=False,
+    int8_qk: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention with fused QKV, optional per-head-dim q/k
     LayerNorm, and 2D RoPE applied to q and k.
@@ -226,6 +227,9 @@ def attention(
         allow_bounded: permit the fixed-max softmax when qk-norm is present.
             Checkpoint loading flips this off if the converted norm weights
             break the logit bound (utils/validation.qk_logit_bound).
+        int8_qk: run the flash kernel's score matmul W8A8 on the 2x-rate
+            int8 MXU (config.attn_quant, serving-only, certified
+            per-checkpoint). Honored only by the unsharded flash impl.
     """
     B, N, C = x.shape
     head_dim = C // num_heads
@@ -257,7 +261,8 @@ def attention(
         )
     else:
         o = scaled_dot_product_attention(
-            q, k, v, impl=impl, kv_valid=kv_valid, bounded_logits=bounded
+            q, k, v, impl=impl, kv_valid=kv_valid, bounded_logits=bounded,
+            qk_int8=int8_qk,
         )  # (B, N, H, D)
     o = o.reshape(B, N, C)
     return dense(p["proj"], o, q_res)
@@ -322,6 +327,7 @@ def block(
     allow_bounded: bool = True,
     approx_gelu: bool = False,
     int8_dense=False,
+    int8_qk: bool = False,
 ) -> jnp.ndarray:
     """Pre-LN transformer block:
        x += DP(LS1(Attn(LN(x), rope))); x += DP(LS2(MLP(LN(x))))
@@ -342,6 +348,7 @@ def block(
         kv_valid=kv_valid,
         allow_bounded=allow_bounded,
         int8_dense=int8_dense,
+        int8_qk=int8_qk,
     )
     if "ls1" in p:
         h = h * p["ls1"]["gamma"].astype(h.dtype)

@@ -52,8 +52,12 @@ _BOUNDED_CLAMP = 80.0
 
 def _flash_kernel(
     *refs, scale, n_keys, block_k, dynamic_valid, fold_sum, head_dim,
-    bounded, return_lse=False
+    bounded, return_lse=False, qk_int8=False
 ):
+    if qk_int8:
+        # per-head combined dequant scale (q_scale * k_scale * softmax
+        # scale), whole (BH, 1) array in SMEM, indexed by the head program
+        c_ref, *refs = refs
     if dynamic_valid:
         # kv_valid: (1, 1) int32 in SMEM — number of valid (unmasked) keys
         nv_ref, q_ref, k_ref, v_ref, *refs = refs
@@ -80,17 +84,31 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # fold the softmax scale into the (bq, D) q tile — a D-wide pass instead
-    # of a bk-wide pass over the score tile (VPU-bound kernel; every pass
-    # over (bq, bk) data costs ~2 ms across the grid)
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
-    k = k_ref[0]  # (bk, D)
-    s = jax.lax.dot_general(
-        q.astype(k.dtype),
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bq, bk)
+    if qk_int8:
+        # W8A8 scores: the int8 MXU runs at 2x the bf16 rate, and at D=64
+        # the bf16 qk matmul only half-fills the MXU contraction depth —
+        # measured 4.93 ms/layer vs 6.55 at the (1, 10992, 16, 64) global-
+        # attention shape. The per-head scalar dequant (softmax scale folded
+        # in) fuses into the exp chain that passes over the score tile
+        # anyway, so dequant costs no extra (bq, bk) pass.
+        s = jax.lax.dot_general(
+            q_ref[0],
+            k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * c_ref[pl.program_id(0), 0]  # (bq, bk)
+    else:
+        # fold the softmax scale into the (bq, D) q tile — a D-wide pass
+        # instead of a bk-wide pass over the score tile (VPU-bound kernel;
+        # every pass over (bq, bk) data costs ~2 ms across the grid)
+        q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
+        k = k_ref[0]  # (bk, D)
+        s = jax.lax.dot_general(
+            q.astype(k.dtype),
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
 
     def body(s):
         """One streaming-softmax update from the (bq, bk) score tile s."""
@@ -190,13 +208,25 @@ def to_bhnd(x):
     return x.transpose(0, 2, 1, 3).reshape(B * H, N, D)
 
 
+def _quant_per_head(x):
+    """(BH, N, D) float -> (int8 values, (BH, 1) fp32 scales): symmetric
+    max-abs quantisation per head slab. |x|/scale <= 127 exactly, so no
+    clip is needed after round."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    return jnp.round(xf / scale).astype(jnp.int8), scale[:, :, 0]
+
+
 def _flash_forward(
     q, k, v, block_q, block_k, kv_valid=None, return_lse=False,
-    bounded=False,
+    bounded=False, qk_int8=False,
 ):
     B, N, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5
+    if qk_int8 and return_lse:
+        raise ValueError("qk_int8 is a serving-only forward mode (no LSE)")
 
     qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
 
@@ -225,6 +255,13 @@ def _flash_forward(
             [vf, jnp.broadcast_to(tail, (*vf.shape[:2], Dv - D))], axis=-1
         )
 
+    if qk_int8:
+        # padding rows are zero and quantise to zero; max-abs scales are
+        # pad-invariant, so quantising the padded arrays is exact
+        qf, q_scale = _quant_per_head(qf)
+        kf, k_scale = _quant_per_head(kf)
+        c = (q_scale * k_scale * scale).astype(jnp.float32)  # (BH, 1)
+
     grid = (B * H, qf.shape[1] // block_q, kf.shape[1] // block_k)
     dynamic_valid = kv_valid is not None
 
@@ -242,6 +279,9 @@ def _flash_forward(
             ),
         )
         inputs.insert(0, jnp.asarray(kv_valid, jnp.int32).reshape(1, 1))
+    if qk_int8:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.insert(0, c)
 
     out_specs = pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0))
     out_shape = jax.ShapeDtypeStruct(qf.shape, q.dtype)
@@ -266,7 +306,7 @@ def _flash_forward(
         functools.partial(
             _flash_kernel, scale=scale, n_keys=Nk, block_k=block_k,
             dynamic_valid=dynamic_valid, fold_sum=fold_sum, head_dim=D,
-            bounded=bounded, return_lse=return_lse,
+            bounded=bounded, return_lse=return_lse, qk_int8=qk_int8,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -514,9 +554,10 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k, bounded=False):
 
 def flash_attention(
     q, k, v, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, kv_valid=None,
-    bounded_logits=False,
+    bounded_logits=False, qk_int8=False,
 ):
-    """Non-causal flash attention over (B, N, H, D) tensors; differentiable.
+    """Non-causal flash attention over (B, N, H, D) tensors; differentiable
+    (except qk_int8 mode, which is serving-only).
 
     kv_valid: optional traced int32 scalar — keys >= kv_valid are masked
     (valid-prefix masking for bucketed serving).
@@ -528,7 +569,19 @@ def flash_attention(
     softmax then runs at a fixed max of 0, skipping the running-max
     reduction pass over every score tile (~14% kernel time at the global-
     attention shape). An in-kernel clamp at 80 (fused into the exp pass)
-    makes pathological weights saturate instead of overflowing."""
+    makes pathological weights saturate instead of overflowing.
+
+    qk_int8: quantise q and k to int8 per head (symmetric max-abs) and run
+    the score matmul on the 2x-rate int8 MXU, dequantising with a per-head
+    scalar fused into the exp pass — measured -25% kernel time at the
+    global-attention shape with ~1e-4 output deltas on qk-normed inputs.
+    Serving-only (no VJP: round() kills the gradient); certified
+    per-checkpoint via models/omnivggt.certify_fast_modes (attn_quant)."""
+    if qk_int8:
+        return _flash_forward(
+            q, k, v, block_q, block_k, kv_valid=kv_valid,
+            bounded=bounded_logits, qk_int8=True,
+        )
     if kv_valid is None:
         return _flash_unmasked(q, k, v, block_q, block_k, bounded_logits)
     return _flash_masked(

@@ -77,11 +77,11 @@ def make_train_step(
     Stochastic depth (cfg.aggregator.drop_path_rate > 0) draws a fresh rng
     per step by folding the step counter into `seed`.
     """
-    if cfg.trunk_quant != "none":
-        # the W8A8 path's round() has a zero gradient — it is a serving mode
+    if cfg.trunk_quant != "none" or cfg.attn_quant != "none":
+        # the W8A8 paths' round() has a zero gradient — serving modes only
         raise ValueError(
-            "trunk_quant is a serving-only fast mode (round() kills the "
-            "gradient); train with trunk_quant='none'"
+            "trunk_quant/attn_quant are serving-only fast modes (round() "
+            "kills the gradient); train with both set to 'none'"
         )
     base_rng = jax.random.PRNGKey(seed)
 

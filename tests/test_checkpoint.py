@@ -181,6 +181,14 @@ def test_certify_fast_modes_ladder():
     assert certify_fast_modes(model.params, forced_q) is forced_q
     forced_ln = dataclasses.replace(cfg, trunk_quant="int8_ln")
     assert certify_fast_modes(model.params, forced_ln) is forced_ln
+    forced_attn = dataclasses.replace(cfg, attn_quant="int8")
+    assert certify_fast_modes(model.params, forced_attn) is forced_attn
+
+    # the attn_quant upgrade probe runs on whatever rung wins; on this CPU
+    # test backend the flash kernel never dispatches, so the probe deltas
+    # are exactly zero and the upgrade certifies trivially
+    assert best.attn_quant == "int8"
+    assert strict.attn_quant == "int8"
 
 
 def test_approx_gelu_close_to_exact():
@@ -246,6 +254,12 @@ def test_int8_trunk_close_to_fp32():
         make_train_step(
             dataclasses.replace(cfg, trunk_quant="int8"), optax.sgd(1e-3)
         )
+    with pytest.raises(ValueError, match="serving-only"):
+        make_train_step(
+            dataclasses.replace(cfg, attn_quant="int8"), optax.sgd(1e-3)
+        )
 
     with pytest.raises(ValueError, match="trunk_quant"):
         dataclasses.replace(cfg, trunk_quant="int4")
+    with pytest.raises(ValueError, match="attn_quant"):
+        dataclasses.replace(cfg, attn_quant="int4")

@@ -197,6 +197,57 @@ def test_flash_attention_edge_shapes():
         np.testing.assert_allclose(out_b, ref, atol=3e-5, err_msg=f"D={D}b")
 
 
+def test_flash_attention_qk_int8():
+    """int8-qk mode (W8A8 score matmul, per-head max-abs scales) stays at
+    the 8-bit quantisation noise level vs exact attention — bounded and
+    running-max softmax, ragged shapes, and the dynamic kv_valid variant."""
+    from omnivggt_tpu.ops.pallas import flash_attention as FA
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(11)
+    orig = pl.pallas_call
+    # unit-scale inputs (the qk-normed regime the serving mode certifies on)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 203, 2, 64)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        for bounded in (True, False):
+            out = np.asarray(
+                FA._flash_forward(q, k, v, 64, 128, bounded=bounded,
+                                  qk_int8=True)
+            )
+            d = np.max(np.abs(out - ref))
+            assert 0 < d < 2e-2, (bounded, d)
+
+        # dynamic valid-prefix masking composes with the int8 scores
+        nv = 150
+        ref_m = np.asarray(_attention_xla(q, k, v, kv_valid=nv))
+        out_m = np.asarray(
+            FA._flash_forward(q, k, v, 64, 128, kv_valid=jnp.int32(nv),
+                              bounded=True, qk_int8=True)
+        )
+        assert np.max(np.abs(out_m - ref_m)) < 2e-2
+
+        # serving-only: no LSE path
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="serving-only"):
+            FA._flash_forward(q, k, v, 64, 128, return_lse=True, qk_int8=True)
+
+        # the public entry routes qk_int8 outside the custom-vjp wrapper
+        out_pub = np.asarray(
+            FA.flash_attention(q, k, v, 64, 128, bounded_logits=True,
+                               qk_int8=True)
+        )
+        assert np.max(np.abs(out_pub - ref)) < 2e-2
+
+
 def test_qk_logit_bound_certification():
     """The weight-dependent logit bound that certifies the fixed-max flash
     softmax: ~sqrt(D) at init (unit norm scales, zero biases), and the

@@ -146,11 +146,13 @@ def main(argv=None):
         "head_dtype": model.config.head_dtype,
         "approx_gelu": model.config.approx_gelu,
         "trunk_quant": model.config.trunk_quant,
+        "attn_quant": model.config.attn_quant,
     }
     print(f"      bounded_attn_logits={model.config.bounded_attn_logits} "
           f"head_dtype={model.config.head_dtype} "
           f"approx_gelu={model.config.approx_gelu} "
-          f"trunk_quant={model.config.trunk_quant}", flush=True)
+          f"trunk_quant={model.config.trunk_quant} "
+          f"attn_quant={model.config.attn_quant}", flush=True)
     # the 1e-3 torch-parity gate is defined on the reference-parity mode
     # (fp32 heads, omnivggt.py:45); the certified bf16-head serving default
     # trades ~1e-2 pose_enc deltas for throughput and is benched separately
@@ -159,7 +161,7 @@ def main(argv=None):
     parity_model = OmniVGGT(
         dataclasses.replace(
             model.config, head_dtype="float32", approx_gelu=False,
-            trunk_quant="none",
+            trunk_quant="none", attn_quant="none",
         ),
         model.params,
     )
