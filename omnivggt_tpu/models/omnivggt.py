@@ -293,12 +293,12 @@ def certify_fast_modes(
     """Certify-then-default the fast serving modes, most aggressive first:
 
       1. int8 trunk + bf16 heads + tanh GELU     (W8A8 dense, 2x-rate MXU;
-         20.47 views/s S=8 with the attn upgrade below, 18.86 without)
+         21.10 views/s S=8 with the attn upgrade below, 18.86 without)
       2. int8_ln trunk + bf16 heads + tanh GELU  (qkv/fc1 only — the
          LayerNorm-fed matmuls, whose outputs pass through qk-norm / GELU
          rather than writing the residual stream; 18.40 views/s at ~0.6x
          the full-int8 pose delta — 0.036 vs 0.060 on random flagship init)
-      3. bf16 dense heads + tanh-GELU trunk      (19.24 views/s with the
+      3. bf16 dense heads + tanh-GELU trunk      (19.75 views/s with the
          attn upgrade, 17.60 without)
       4. bf16 dense heads                        (15.31 views/s)
       5. fp32 heads + exact erf GELU             (reference parity, fallback)

@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 768  # 896 puts the fp32 score tile ~0.4 MB over the 16 MB
 DEFAULT_BLOCK_K = 2048  # scoped-VMEM limit once the surrounding model is live
+# the int8-qk kernel's q/k tiles are quarter-size, which buys room for wider
+# key blocks: (768, 3072) measured 4.83 ms/layer vs 5.20 at (768, 2048) on
+# the global-attention shape ((768, 4096) fails to compile standalone)
+DEFAULT_INT8_BLOCK_K = 3072
 # the backward kernels keep two (block_q, block_k) fp32 score tiles (p and ds)
 # live at once, so they run at smaller blocks than the forward. (512, 2048)
 # measured fastest standalone (33.4 ms fwd+bwd) but its ~10 MB scoped VMEM
@@ -578,6 +582,8 @@ def flash_attention(
     Serving-only (no VJP: round() kills the gradient); certified
     per-checkpoint via models/omnivggt.certify_fast_modes (attn_quant)."""
     if qk_int8:
+        if block_k == DEFAULT_BLOCK_K:
+            block_k = DEFAULT_INT8_BLOCK_K
         return _flash_forward(
             q, k, v, block_q, block_k, kv_valid=kv_valid,
             bounded=bounded_logits, qk_int8=True,
