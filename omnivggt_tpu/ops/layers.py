@@ -257,7 +257,8 @@ def attention(
     bounded = allow_bounded and "q_norm" in p
     if shard is not None:
         o = shard.attend(
-            q, k, v, impl, kv_valid=kv_valid, bounded_logits=bounded
+            q, k, v, impl, kv_valid=kv_valid, bounded_logits=bounded,
+            qk_int8=int8_qk,
         )
     else:
         o = scaled_dot_product_attention(

@@ -45,10 +45,17 @@ def allgather_attention(
     impl: str = "auto",
     kv_valid=None,
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Sequence-sharded attention with all-gathered KV. kv_valid masks keys
     >= kv_valid of the *global* (gathered) sequence — the tiled all_gather
-    restores global token order, so the valid prefix stays a prefix."""
+    restores global token order, so the valid prefix stays a prefix.
+
+    qk_int8: per-shard W8A8 flash score matmuls (ops/pallas qk_int8). Each
+    device quantises its local q rows and the (identical) gathered KV with
+    its own per-head scales, so the sharded result matches the
+    single-device int8 forward up to the shard-local q scales — the same
+    8-bit noise level the serving certification gates."""
     spec = _qkv_spec(seq_axis)
 
     if kv_valid is None:
@@ -57,7 +64,8 @@ def allgather_attention(
             k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
             v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
             return scaled_dot_product_attention(
-                q, k_full, v_full, impl=impl, bounded_logits=bounded_logits
+                q, k_full, v_full, impl=impl, bounded_logits=bounded_logits,
+                qk_int8=qk_int8,
             )
 
         return shard_map(
@@ -70,7 +78,7 @@ def allgather_attention(
         v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
         return scaled_dot_product_attention(
             q, k_full, v_full, impl=impl, kv_valid=nv[0],
-            bounded_logits=bounded_logits,
+            bounded_logits=bounded_logits, qk_int8=qk_int8,
         )
 
     nv = jnp.asarray(kv_valid, jnp.int32).reshape(1)
@@ -211,6 +219,7 @@ def rows_sharded_attention(
     rows_spec: P,
     impl: str = "auto",
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Embarrassingly-parallel attention with the batch/rows dim sharded
     (frame attention: each frame attends within itself, no communication).
@@ -219,7 +228,8 @@ def rows_sharded_attention(
 
     def inner(q, k, v):
         return scaled_dot_product_attention(
-            q, k, v, impl=impl, bounded_logits=bounded_logits
+            q, k, v, impl=impl, bounded_logits=bounded_logits,
+            qk_int8=qk_int8,
         )
 
     return shard_map(

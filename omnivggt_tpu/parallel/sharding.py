@@ -27,7 +27,12 @@ class AttnShard:
     kind: str  # "rows" | "allgather" | "ring"
     axis: object = (DATA_AXIS, SEQ_AXIS)  # rows spec or seq axis name
 
-    def attend(self, q, k, v, impl, kv_valid=None, bounded_logits=False):
+    def attend(self, q, k, v, impl, kv_valid=None, bounded_logits=False,
+               qk_int8=False):
+        # qk_int8 reaches the rows/allgather strategies (their local compute
+        # is the flash kernel); the ring strategies ignore it — the rotating
+        # KV shards would need their int8 scales shipped alongside, future
+        # work for a real multi-chip slice
         if self.kind == "rows":
             if kv_valid is not None:
                 raise ValueError(
@@ -36,12 +41,12 @@ class AttnShard:
                 )
             return pattn.rows_sharded_attention(
                 q, k, v, self.mesh, self.axis, impl=impl,
-                bounded_logits=bounded_logits,
+                bounded_logits=bounded_logits, qk_int8=qk_int8,
             )
         if self.kind == "allgather":
             return pattn.allgather_attention(
                 q, k, v, self.mesh, self.axis, impl=impl, kv_valid=kv_valid,
-                bounded_logits=bounded_logits,
+                bounded_logits=bounded_logits, qk_int8=qk_int8,
             )
         if self.kind in ("ring", "ring_fused"):
             if kv_valid is not None:

@@ -183,3 +183,35 @@ def test_sharded_int8_trunk_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref["depth"]), np.asarray(out["depth"]), atol=5e-5, rtol=1e-5
     )
+
+
+@needs_8dev
+def test_allgather_attention_qk_int8():
+    """int8-qk flash under the allgather strategy (interpret-mode kernel):
+    per-shard q scales keep the result at the 8-bit noise level of the
+    exact attention."""
+    import functools
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(5)
+    B, N, H, D = 1, 8 * 37, 2, 64
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        out = np.asarray(
+            pattn.allgather_attention(
+                q, k, v, mesh, "seq", impl="flash", bounded_logits=True,
+                qk_int8=True,
+            )
+        )
+    d = np.max(np.abs(out - ref))
+    assert 0 < d < 2e-2, d
