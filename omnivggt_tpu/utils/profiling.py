@@ -150,6 +150,7 @@ def sharded_attention_roofline(
     embed_dim: int = 1024,
     ici_bytes_per_s: float = 9.0e10,
     flash_flops_per_s: float = 60e12,
+    flash_int8_flops_per_s: float = 102e12,
     matmul_flops_per_s: float = 175e12,
     bytes_per_elem: int = 2,
 ):
@@ -159,8 +160,12 @@ def sharded_attention_roofline(
 
     Assumptions (v5e defaults): a bidirectional ring on one ICI torus axis
     (2 x 45 GB/s per chip), the measured Pallas flash throughput (60 TFLOP/s
-    at the D=64 global-attention shape) and the measured amortised matmul
-    throughput (175 TFLOP/s), bf16 activations.
+    bf16, 102 TFLOP/s int8-qk at the D=64 global-attention shape) and the
+    measured amortised matmul throughput (175 TFLOP/s), bf16 activations.
+    The allgather path runs the local int8-qk flash kernel when the serving
+    config certifies attn_quant (allgather_attn_int8_ms); the ring kernels
+    are bf16-only today (int8 KV shards would need their scales shipped
+    alongside the rotation — future work).
 
       - allgather: each device receives (n_dev-1)/n_dev of the full K+V once
         per layer; XLA can overlap the gather with the previous layer's
@@ -186,6 +191,7 @@ def sharded_attention_roofline(
             "n_dev": n_dev,
             "ici_bytes_per_s": ici_bytes_per_s,
             "flash_flops_per_s": flash_flops_per_s,
+            "flash_int8_flops_per_s": flash_int8_flops_per_s,
             "matmul_flops_per_s": matmul_flops_per_s,
         },
         # largest view count the HBM-staged ring kernel covers on this mesh
@@ -209,6 +215,9 @@ def sharded_attention_roofline(
             "tokens_per_device": nl,
             "allgather_ms": round(t_allgather * 1e3, 3),
             "attn_ms": round(t_attn * 1e3, 3),
+            "attn_int8_ms": round(
+                4 * nl * N * HD / flash_int8_flops_per_s * 1e3, 3
+            ),
             "dense_ms": round(t_dense * 1e3, 3),
             "allgather_comm_fraction": round(t_allgather / (t_attn + t_dense), 3),
             "ring_step_comm_ms": round(ring_step_comm * 1e3, 3),

@@ -45,10 +45,12 @@ def main():
     from omnivggt_tpu.models import omnivggt as M
 
     # match bench.py's serving configuration: bf16 heads + tanh GELU +
-    # bf16-stored trunk
+    # int8-qk attention + bf16-stored trunk
     cfg = OmniVGGTConfig(
         head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "bfloat16"),
         approx_gelu=os.environ.get("BENCH_APPROX_GELU", "1") != "0",
+        trunk_quant=os.environ.get("BENCH_TRUNK_QUANT", "none"),
+        attn_quant=os.environ.get("BENCH_ATTN_QUANT", "int8"),
     )
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))
     if os.environ.get("BENCH_COMPRESS", "1") != "0":
