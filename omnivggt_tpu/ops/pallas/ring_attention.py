@@ -66,13 +66,7 @@ def _ring_neighbors(axis_name: str, n_dev: int):
 
 
 def _ring_kernel(
-    q_ref,  # (1, Nl, D) VMEM (current bh slice)
-    k_ref,  # (1, Nl, D) VMEM
-    v_ref,  # (1, Nl, D) VMEM
-    o_ref,  # (1, Nl, D) VMEM out
-    kv_buf,  # (2, 2, Nl, D) VMEM scratch: [slot][k|v]
-    *scr,  # [m (chunk,128) f32 — unless bounded], l (chunk,128), acc
-    # (chunk, D), then send/recv/ready semaphores
+    *refs,  # [c (BH, 2) SMEM when qk_int8] q, k, v in; o out; then scratch
     axis_name: str,
     n_dev: int,
     scale: float,
@@ -80,12 +74,32 @@ def _ring_kernel(
     block_k: int,
     handshake: bool,
     bounded: bool = False,
+    qk_int8: bool = False,
 ):
+    # qk_int8: q/k/v arrive int8 (per-head scales). c column 0 holds
+    # q_scale * k_scale * softmax scale (dequants the int32 score matmul,
+    # fused into the exp chain); column 1 holds v_scale, folded into the
+    # final acc / l normalisation — so the int8 ring ships HALF the ICI
+    # bytes per rotation and pays only an int8->bf16 convert per v tile.
+    if qk_int8:
+        c_ref, *refs = refs
+    else:
+        c_ref = None
+    (
+        q_ref,  # (1, Nl, D) VMEM (current bh slice)
+        k_ref,  # (1, Nl, D) VMEM
+        v_ref,  # (1, Nl, D) VMEM
+        o_ref,  # (1, Nl, D) VMEM out
+        kv_buf,  # (2, 2, Nl, D) VMEM scratch: [slot][k|v]
+        *scr,  # [m (chunk,128) f32 — unless bounded], l (chunk,128), acc
+        # (chunk, D), then send/recv/ready semaphores
+    ) = refs
     # bounded mode runs the softmax at a fixed max of 0 — the running-max
     # scratch is not allocated at all (VMEM headroom goes to the KV buffer)
     m_scr = None if bounded else scr[0]
     l_scr, acc_scr, send_sem, recv_sem, ready_sem = scr[-5:]
     right, left = _ring_neighbors(axis_name, n_dev)
+    b = pl.program_id(0)
 
     nl = q_ref.shape[1]
     chunk = l_scr.shape[0]  # q rows whose softmax state is VMEM-resident
@@ -135,24 +149,38 @@ def _ring_kernel(
                 rdma.start()
 
             def q_tile_body(qi, _):
-                q = q_ref[
-                    0, pl.ds(q_base + qi * block_q, block_q), :
-                ].astype(jnp.float32) * scale
-                q = q.astype(k_ref.dtype)
+                if qk_int8:
+                    q = q_ref[0, pl.ds(q_base + qi * block_q, block_q), :]
+                else:
+                    q = q_ref[
+                        0, pl.ds(q_base + qi * block_q, block_q), :
+                    ].astype(jnp.float32) * scale
+                    q = q.astype(k_ref.dtype)
                 l = l_scr[pl.ds(qi * block_q, block_q), :1]
                 acc = acc_scr[pl.ds(qi * block_q, block_q), :]
 
                 def score(ki):
                     k = kv_buf[slot, 0, pl.ds(ki * block_k, block_k), :]
+                    if qk_int8:
+                        return jax.lax.dot_general(
+                            q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        ).astype(jnp.float32) * c_ref[b, 0]
                     return jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
 
+                def v_tile(ki):
+                    v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
+                    # int8 v converts for the MXU; its scale is folded into
+                    # the final acc / l normalisation (per-head scalar)
+                    return v.astype(jnp.bfloat16) if qk_int8 else v
+
                 def k_tile_body(ki, carry):
                     m, l, acc = carry
                     s = score(ki)
-                    v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
+                    v = v_tile(ki)
                     m_curr = jnp.max(s, axis=-1, keepdims=True)
                     m_new = jnp.maximum(m, m_curr)
                     p = jnp.exp(s - m_new)
@@ -168,7 +196,7 @@ def _ring_kernel(
                     # softmax at a fixed max of 0 (clamp = overflow insurance)
                     l, acc = carry
                     s = score(ki)
-                    v = kv_buf[slot, 1, pl.ds(ki * block_k, block_k), :]
+                    v = v_tile(ki)
                     p = jnp.exp(jnp.minimum(s, _BOUNDED_CLAMP))
                     l_new = l + jnp.sum(p, axis=-1, keepdims=True)
                     acc_new = acc + jax.lax.dot_general(
@@ -200,23 +228,14 @@ def _ring_kernel(
             if step + 1 < n_dev:
                 rdma.wait()  # send + recv complete before the slots swap roles
 
-        o_ref[0, pl.ds(q_base, chunk), :] = (
-            acc_scr[:] / l_scr[:, :1]
-        ).astype(o_ref.dtype)
+        o_chunk = acc_scr[:] / l_scr[:, :1]
+        if qk_int8:
+            o_chunk = o_chunk * c_ref[b, 1]  # fold the per-head v scale in
+        o_ref[0, pl.ds(q_base, chunk), :] = o_chunk.astype(o_ref.dtype)
 
 
 def _ring_hbm_kernel(
-    q_hbm,  # (BH, nl_pad, D) ANY/HBM
-    k_hbm,
-    v_hbm,
-    o_hbm,  # (BH, nl_pad, D) ANY/HBM out
-    kv_ring,  # (2, 2, nl_pad, D) HBM ring double buffer: [slot][k|v]
-    q_vmem,  # (nl_pad, D) — whole local q resident
-    kt,  # (2, block_k, D) streamed K tiles
-    vt,  # (2, block_k, D) streamed V tiles
-    o_stage,  # (block_q, D) output staging
-    *scr,  # [m (nl_pad,8) f32 — unless bounded], l (nl_pad,8),
-    # acc (nl_pad,D), then in/tile/out/send/recv/ready semaphores
+    *refs,
     axis_name: str,
     n_dev: int,
     scale: float,
@@ -225,7 +244,28 @@ def _ring_hbm_kernel(
     block_k: int,
     handshake: bool,
     bounded: bool = False,
+    qk_int8: bool = False,
 ):
+    # ref order: [c (BH, 2) SMEM when qk_int8], q/k/v HBM in, o HBM out,
+    # then the scratch below. int8 mode: see _ring_kernel — half the ICI
+    # bytes per rotation, half the HBM ring footprint.
+    if qk_int8:
+        c_ref, *refs = refs
+    else:
+        c_ref = None
+    (
+        q_hbm,  # (BH, nl_pad, D) ANY/HBM
+        k_hbm,
+        v_hbm,
+        o_hbm,  # (BH, nl_pad, D) ANY/HBM out
+        kv_ring,  # (2, 2, nl_pad, D) HBM ring double buffer: [slot][k|v]
+        q_vmem,  # (nl_pad, D) — whole local q resident
+        kt,  # (2, block_k, D) streamed K tiles
+        vt,  # (2, block_k, D) streamed V tiles
+        o_stage,  # (block_q, D) output staging
+        *scr,  # [m (nl_pad,8) f32 — unless bounded], l (nl_pad,8),
+        # acc (nl_pad,D), then in/tile/out/send/recv/ready semaphores
+    ) = refs
     m_scr = None if bounded else scr[0]
     (l_scr, acc_scr, in_sem, tile_sem, out_sem, send_sem, recv_sem,
      ready_sem) = scr[-8:]
@@ -312,18 +352,26 @@ def _ring_hbm_kernel(
             ck.wait()
             cv.wait()
             k_tile = kt[buf]
-            v_tile = vt[buf]
+            v_tile = vt[buf].astype(jnp.bfloat16) if qk_int8 else vt[buf]
 
             def q_body(qi, _):
-                q = q_vmem[pl.ds(qi * block_q, block_q), :].astype(
-                    jnp.float32
-                ) * scale
-                s = jax.lax.dot_general(
-                    q.astype(k_tile.dtype),
-                    k_tile,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (bq, bk)
+                if qk_int8:
+                    s = jax.lax.dot_general(
+                        q_vmem[pl.ds(qi * block_q, block_q), :],
+                        k_tile,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * c_ref[b, 0]  # (bq, bk)
+                else:
+                    q = q_vmem[pl.ds(qi * block_q, block_q), :].astype(
+                        jnp.float32
+                    ) * scale
+                    s = jax.lax.dot_general(
+                        q.astype(k_tile.dtype),
+                        k_tile,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (bq, bk)
                 if ragged:
                     key_idx = ki * block_k + jax.lax.broadcasted_iota(
                         jnp.int32, s.shape, 1
@@ -372,15 +420,43 @@ def _ring_hbm_kernel(
             rdma.wait()  # send + recv complete before the slots swap roles
 
     for qi in range(nq):
-        o_stage[:] = (
+        o_q = (
             acc_scr[pl.ds(qi * block_q, block_q), :]
             / l_scr[pl.ds(qi * block_q, block_q), :1]
-        ).astype(o_stage.dtype)
+        )
+        if qk_int8:
+            o_q = o_q * c_ref[b, 1]  # fold the per-head v scale in
+        o_stage[:] = o_q.astype(o_stage.dtype)
         cp = pltpu.make_async_copy(
             o_stage, o_hbm.at[b, pl.ds(qi * block_q, block_q)], out_sem
         )
         cp.start()
         cp.wait()
+
+
+def _quant_ring(qf, kf, vf, axis_name, scale):
+    """Per-head int8 quantisation for the ring kernels: q uses local
+    per-head max-abs scales (it never leaves the device); k and v use
+    ring-GLOBAL per-head scales (lax.pmax over the ring axis) so every
+    rotating shard shares one int8 grid and the kernel's per-head dequant
+    scalar is position-independent. Returns int8 q/k/v plus the (BH, 2)
+    scale table the kernels read from SMEM: column 0 = q_s * k_s * softmax
+    scale (score dequant), column 1 = v_s (folded into acc / l)."""
+
+    def amax(x):
+        return jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))  # (BH,)
+
+    q_s = jnp.maximum(amax(qf), 1e-30) / 127.0
+    k_s = jnp.maximum(jax.lax.pmax(amax(kf), axis_name), 1e-30) / 127.0
+    v_s = jnp.maximum(jax.lax.pmax(amax(vf), axis_name), 1e-30) / 127.0
+
+    def to8(x, s):
+        return jnp.round(
+            x.astype(jnp.float32) / s[:, None, None]
+        ).astype(jnp.int8)
+
+    c = jnp.stack([q_s * k_s * scale, v_s], axis=1)  # (BH, 2) fp32
+    return to8(qf, q_s), to8(kf, k_s), to8(vf, v_s), c
 
 
 def ring_flash_attention_hbm(
@@ -394,10 +470,15 @@ def ring_flash_attention_hbm(
     interpret: bool = False,
     handshake: bool = None,
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """HBM-staged exact ring flash attention: per-device shards up to
     MAX_LOCAL_SEQ_HBM tokens, any length (padded + masked internally). One
-    ring rotation total."""
+    ring rotation total.
+
+    qk_int8: W8A8 ring (serving-only) — int8 KV shards HALVE the ICI bytes
+    per rotation and the HBM ring footprint; scores run on the 2x-rate int8
+    MXU (see _quant_ring for the scale plumbing)."""
     import math
 
     B, N, H, D = q.shape
@@ -423,6 +504,14 @@ def ring_flash_attention_hbm(
             return x
 
         qf, kf, vf = prep(q), prep(k), prep(v)
+        inputs = [qf, kf, vf]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        kv_dtype = q.dtype
+        if qk_int8:
+            q8, k8, v8, c = _quant_ring(qf, kf, vf, seq_axis, scale)
+            inputs = [c, q8, k8, v8]
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+            kv_dtype = jnp.int8
         out = pl.pallas_call(
             functools.partial(
                 _ring_hbm_kernel,
@@ -434,16 +523,17 @@ def ring_flash_attention_hbm(
                 block_k=block_k,
                 handshake=handshake,
                 bounded=bounded_logits,
+                qk_int8=qk_int8,
             ),
             grid=(B * H,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((B * H, nl_pad, D), q.dtype),
             scratch_shapes=[
-                pl.ANY((2, 2, nl_pad, D), q.dtype),  # HBM KV ring
-                pltpu.VMEM((nl_pad, D), q.dtype),  # whole local q
-                pltpu.VMEM((2, block_k, D), q.dtype),  # K tiles
-                pltpu.VMEM((2, block_k, D), q.dtype),  # V tiles
+                pl.ANY((2, 2, nl_pad, D), kv_dtype),  # HBM KV ring
+                pltpu.VMEM((nl_pad, D), kv_dtype),  # whole local q
+                pltpu.VMEM((2, block_k, D), kv_dtype),  # K tiles
+                pltpu.VMEM((2, block_k, D), kv_dtype),  # V tiles
                 pltpu.VMEM((block_q, D), q.dtype),  # out staging
                 *(
                     []
@@ -463,7 +553,7 @@ def ring_flash_attention_hbm(
                 has_side_effects=True, collective_id=8,
             ),
             interpret=interpret,
-        )(qf, kf, vf)
+        )(*inputs)
         return out[:, :nl].reshape(B, H, nl, D).transpose(0, 2, 1, 3)
 
     return shard_map(
@@ -484,6 +574,7 @@ def ring_flash_attention(
     interpret: bool = False,
     handshake: bool = None,
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Exact sequence-sharded attention over (B, N, H, D) with N sharded on
     `seq_axis`. Shards that fit the VMEM double buffer (and divide the
@@ -493,7 +584,11 @@ def ring_flash_attention(
     bounded_logits: caller-guaranteed |scores| << 80 (qk-normed inputs);
     skips the running-max machinery (see flash_attention's docstring). The
     ones-column row-sum fold used there is NOT applied here: it would pad
-    the rotating v shard to 128 lanes and double the ICI ring traffic."""
+    the rotating v shard to 128 lanes and double the ICI ring traffic.
+
+    qk_int8: W8A8 ring (serving-only, certified per-checkpoint): int8 KV
+    shards halve the ICI bytes per rotation, scores run on the 2x-rate int8
+    MXU, k/v use ring-global per-head scales (_quant_ring)."""
     B, N, H, D = q.shape
     n_dev = mesh.shape[seq_axis]
     nl = N // n_dev
@@ -508,7 +603,7 @@ def ring_flash_attention(
             q, k, v, mesh, seq_axis,
             block_q=block_q, block_k=block_k,
             interpret=interpret, handshake=handshake,
-            bounded_logits=bounded_logits,
+            bounded_logits=bounded_logits, qk_int8=qk_int8,
         )
     # vmem_ok above already guarantees these divisibilities
     chunk = min(chunk_q, nl)
@@ -523,6 +618,18 @@ def ring_flash_attention(
         qf, kf, vf = (
             _to_bhnd_global(q), _to_bhnd_global(k), _to_bhnd_global(v)
         )
+        inputs = [qf, kf, vf]
+        in_specs = [
+            pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
+        ]
+        kv_dtype = q.dtype
+        if qk_int8:
+            q8, k8, v8, c = _quant_ring(qf, kf, vf, seq_axis, scale)
+            inputs = [c, q8, k8, v8]
+            in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+            kv_dtype = jnp.int8
         out = pl.pallas_call(
             functools.partial(
                 _ring_kernel,
@@ -533,17 +640,14 @@ def ring_flash_attention(
                 block_k=block_k,
                 handshake=handshake,
                 bounded=bounded_logits,
+                qk_int8=qk_int8,
             ),
             grid=(B * H,),
-            in_specs=[
-                pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, nl, D), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B * H, nl, D), q.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, 2, nl, D), q.dtype),
+                pltpu.VMEM((2, 2, nl, D), kv_dtype),
                 *(
                     []
                     if bounded_logits
@@ -559,7 +663,7 @@ def ring_flash_attention(
                 has_side_effects=True, collective_id=7,
             ),
             interpret=interpret,
-        )(qf, kf, vf)
+        )(*inputs)
         return out.reshape(B, H, nl, D).transpose(0, 2, 1, 3)
 
     return shard_map(

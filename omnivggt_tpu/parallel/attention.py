@@ -175,12 +175,17 @@ def fused_ring_attention(
     mesh: Mesh,
     seq_axis: str = "seq",
     bounded_logits: bool = False,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     """The Pallas RDMA ring kernel (ops/pallas/ring_attention.py), with
     interpret mode selected automatically off-TPU so the same model code runs
     on the CPU test mesh. Shards beyond the HBM-staged kernel's VMEM cap
     (ops/pallas/ring_attention.MAX_LOCAL_SEQ_HBM, ~166 views on 8 chips)
-    fall back to the unfused lax.ppermute ring — logged, not silent."""
+    fall back to the unfused lax.ppermute ring — logged, not silent.
+
+    qk_int8 (serving-only, certified): the W8A8 ring — int8 KV shards halve
+    the rotation's ICI bytes and the scores run on the 2x-rate int8 MXU.
+    The unfused fallback ignores it (bf16 einsums), logged above."""
     import math
 
     from omnivggt_tpu.ops.pallas.ring_attention import (
@@ -207,7 +212,7 @@ def fused_ring_attention(
 
     return ring_flash_attention(
         q, k, v, mesh, seq_axis, interpret=jax.default_backend() != "tpu",
-        bounded_logits=bounded_logits,
+        bounded_logits=bounded_logits, qk_int8=qk_int8,
     )
 
 

@@ -29,10 +29,10 @@ class AttnShard:
 
     def attend(self, q, k, v, impl, kv_valid=None, bounded_logits=False,
                qk_int8=False):
-        # qk_int8 reaches the rows/allgather strategies (their local compute
-        # is the flash kernel); the ring strategies ignore it — the rotating
-        # KV shards would need their int8 scales shipped alongside, future
-        # work for a real multi-chip slice
+        # qk_int8 reaches rows/allgather (their local compute is the flash
+        # kernel) and the fused ring (int8 KV shards with ring-global
+        # per-head scales — half the ICI bytes); only the unfused ppermute
+        # ring ignores it (bf16 einsums)
         if self.kind == "rows":
             if kv_valid is not None:
                 raise ValueError(
@@ -57,7 +57,7 @@ class AttnShard:
             if self.kind == "ring_fused":
                 return pattn.fused_ring_attention(
                     q, k, v, self.mesh, self.axis,
-                    bounded_logits=bounded_logits,
+                    bounded_logits=bounded_logits, qk_int8=qk_int8,
                 )
             return pattn.ring_attention(
                 q, k, v, self.mesh, self.axis, bounded_logits=bounded_logits

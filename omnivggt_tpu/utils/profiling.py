@@ -163,9 +163,11 @@ def sharded_attention_roofline(
     bf16, 102 TFLOP/s int8-qk at the D=64 global-attention shape) and the
     measured amortised matmul throughput (175 TFLOP/s), bf16 activations.
     The allgather path runs the local int8-qk flash kernel when the serving
-    config certifies attn_quant (allgather_attn_int8_ms); the ring kernels
-    are bf16-only today (int8 KV shards would need their scales shipped
-    alongside the rotation — future work).
+    config certifies attn_quant (allgather_attn_int8_ms); the fused ring
+    kernels also take attn_quant (int8 KV shards with ring-global per-head
+    scales — HALF the ICI bytes per rotation), but their on-hardware int8
+    compute rate is unmeasured (no multi-chip slice here), so the ring_step
+    numbers conservatively keep the bf16 rate.
 
       - allgather: each device receives (n_dev-1)/n_dev of the full K+V once
         per layer; XLA can overlap the gather with the previous layer's

@@ -158,3 +158,53 @@ def test_ring_hbm_north_star_shape():
     )
     ref = np.asarray(ring_unfused(q, k, v, mesh, "seq"))
     np.testing.assert_allclose(ref, out, atol=2e-5, rtol=1e-5)
+
+
+@needs_8dev
+@pytest.mark.parametrize("bounded", [True, False])
+def test_ring_flash_attention_qk_int8(bounded):
+    """W8A8 ring (VMEM variant): int8 KV shards with ring-global per-head
+    scales stay at the 8-bit noise level of exact attention."""
+    mesh = _seq_mesh()
+    rng = np.random.default_rng(7)
+    B, N, H, D = 1, 8 * 256, 2, 64
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    out = np.asarray(
+        ring_flash_attention(
+            q, k, v, mesh, "seq", block_q=128, block_k=128, interpret=True,
+            bounded_logits=bounded, qk_int8=True,
+        )
+    )
+    d = np.max(np.abs(out - ref))
+    assert 0 < d < 2e-2, (bounded, d)
+
+
+@needs_8dev
+def test_ring_hbm_qk_int8_ragged():
+    """W8A8 ring (HBM-staged variant) on a ragged shard: int8 scores +
+    padding masking compose; v-scale folding keeps outputs at the 8-bit
+    noise level."""
+    from omnivggt_tpu.ops.pallas.ring_attention import (
+        ring_flash_attention_hbm,
+    )
+
+    mesh = _seq_mesh()
+    rng = np.random.default_rng(9)
+    B, N, H, D = 1, 8 * 200, 1, 64  # 200/device -> padded to lcm(128, 128)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+    ref = np.asarray(_attention_xla(q, k, v))
+    out = np.asarray(
+        ring_flash_attention_hbm(
+            q, k, v, mesh, "seq", block_q=128, block_k=128, interpret=True,
+            bounded_logits=True, qk_int8=True,
+        )
+    )
+    d = np.max(np.abs(out - ref))
+    assert 0 < d < 2e-2, d
