@@ -212,14 +212,27 @@ def to_bhnd(x):
     return x.transpose(0, 2, 1, 3).reshape(B * H, N, D)
 
 
-def _quant_per_head(x):
+def _quant_per_head(x, valid=None):
     """(BH, N, D) float -> (int8 values, (BH, 1) fp32 scales): symmetric
     max-abs quantisation per head slab. |x|/scale <= 127 exactly, so no
-    clip is needed after round."""
+    clip is needed after round.
+
+    valid: optional traced row count — rows >= valid are EXCLUDED from the
+    max-abs reduce (and clipped after round, since they may exceed the
+    scale). Bucketed serving pads frames with garbage activations; without
+    this, the padding would perturb the per-head scales and break the
+    padded-forward == unpadded-forward contract for the real frames."""
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=(1, 2), keepdims=True)
+    xa = jnp.abs(xf)
+    if valid is not None:
+        row = jnp.arange(x.shape[1])[None, :, None]
+        xa = jnp.where(row < valid, xa, 0.0)
+    amax = jnp.max(xa, axis=(1, 2), keepdims=True)
     scale = jnp.maximum(amax, 1e-30) / 127.0
-    return jnp.round(xf / scale).astype(jnp.int8), scale[:, :, 0]
+    x8 = jnp.round(xf / scale)
+    if valid is not None:
+        x8 = jnp.clip(x8, -127, 127)
+    return x8.astype(jnp.int8), scale[:, :, 0]
 
 
 def _flash_forward(
@@ -260,10 +273,13 @@ def _flash_forward(
         )
 
     if qk_int8:
-        # padding rows are zero and quantise to zero; max-abs scales are
-        # pad-invariant, so quantising the padded arrays is exact
-        qf, q_scale = _quant_per_head(qf)
-        kf, k_scale = _quant_per_head(kf)
+        # block-padding rows are zero and quantise to zero (pad-invariant
+        # scales); kv_valid (bucketed serving) additionally excludes the
+        # padded frames' garbage rows from BOTH q and k scales — the same
+        # valid prefix applies to queries in this self-attention, and the
+        # caller discards the padded query outputs
+        qf, q_scale = _quant_per_head(qf, valid=kv_valid)
+        kf, k_scale = _quant_per_head(kf, valid=kv_valid)
         c = (q_scale * k_scale * scale).astype(jnp.float32)  # (BH, 1)
 
     grid = (B * H, qf.shape[1] // block_q, kf.shape[1] // block_k)

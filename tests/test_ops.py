@@ -232,7 +232,24 @@ def test_flash_attention_qk_int8():
             FA._flash_forward(q, k, v, 64, 128, kv_valid=jnp.int32(nv),
                               bounded=True, qk_int8=True)
         )
-        assert np.max(np.abs(out_m - ref_m)) < 2e-2
+        # 150-key softmax averages less quantisation noise than the full
+        # sequence; 8-bit level here is a few e-2
+        assert np.max(np.abs(out_m - ref_m)) < 5e-2
+
+        # bucketed-serving contract: the padded forward's valid rows must
+        # match the unpadded forward — kv_valid excludes padding from the
+        # quantisation scales, so the int8 values of real rows are identical
+        nv2 = 150
+        out_pad = np.asarray(
+            FA._flash_forward(q, k, v, 64, 128, kv_valid=jnp.int32(nv2),
+                              bounded=True, qk_int8=True)
+        )[:, :nv2]
+        out_trunc = np.asarray(
+            FA._flash_forward(q[:, :nv2], k[:, :nv2], v[:, :nv2], 64, 128,
+                              kv_valid=jnp.int32(nv2), bounded=True,
+                              qk_int8=True)
+        )
+        np.testing.assert_allclose(out_pad, out_trunc, atol=1e-5)
 
         # serving-only: no LSE path
         import pytest as _pytest
