@@ -348,10 +348,21 @@ def certify_fast_modes(
     # attn_quant upgrade probe: orthogonal to the trunk ladder; its error is
     # an order of magnitude below the other fast modes, so it is attempted
     # on whatever won above (including the parity fallback) and kept only
-    # when the same gates pass
+    # when the same gates pass. The probe MUST run at a frame count where
+    # the flash kernel actually dispatches (ops/attention._FLASH_MIN_SEQ =
+    # 1024 tokens): at the default 140 px probe, S=2 gives N=210 where
+    # qk_int8 is inert and the gate would pass vacuously — S=10 gives
+    # N=1050. (Tiny test configs stay below the threshold at any S; there
+    # the serving attention is xla anyway, so the trivially-certified flag
+    # is genuinely inert.)
+    attn_probe_s = max(probe_s, 10)
     upgraded = dataclasses.replace(best, attn_quant="int8")
+    # gate against the WINNING rung at the attn probe shape — this isolates
+    # the int8-attention error itself (the base rung's own certified deltas
+    # would otherwise confound the comparison at the larger frame count)
+    base_a = _probe_outputs(params, best, probe_hw, attn_probe_s)
     failed = _probe_failures(
-        ref, _probe_outputs(params, upgraded, probe_hw, probe_s),
+        base_a, _probe_outputs(params, upgraded, probe_hw, attn_probe_s),
         pose_tol, rel_tol,
     )
     if not failed:

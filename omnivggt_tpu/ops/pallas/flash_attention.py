@@ -212,7 +212,7 @@ def to_bhnd(x):
     return x.transpose(0, 2, 1, 3).reshape(B * H, N, D)
 
 
-def _quant_per_head(x, valid=None):
+def _quant_per_head(x, valid=None, amax_reduce=None):
     """(BH, N, D) float -> (int8 values, (BH, 1) fp32 scales): symmetric
     max-abs quantisation per head slab. |x|/scale <= 127 exactly, so no
     clip is needed after round.
@@ -221,14 +221,21 @@ def _quant_per_head(x, valid=None):
     max-abs reduce (and clipped after round, since they may exceed the
     scale). Bucketed serving pads frames with garbage activations; without
     this, the padding would perturb the per-head scales and break the
-    padded-forward == unpadded-forward contract for the real frames."""
+    padded-forward == unpadded-forward contract for the real frames.
+
+    amax_reduce: optional callable applied to the per-head (BH,) max-abs
+    before the scale is formed — the ring kernels pass a lax.pmax over the
+    ring axis so every rotating shard shares one int8 grid (a cross-device
+    max only grows the scale, so no clip is needed either)."""
     xf = x.astype(jnp.float32)
     xa = jnp.abs(xf)
     if valid is not None:
         row = jnp.arange(x.shape[1])[None, :, None]
         xa = jnp.where(row < valid, xa, 0.0)
-    amax = jnp.max(xa, axis=(1, 2), keepdims=True)
-    scale = jnp.maximum(amax, 1e-30) / 127.0
+    amax = jnp.max(xa, axis=(1, 2))  # (BH,)
+    if amax_reduce is not None:
+        amax = amax_reduce(amax)
+    scale = (jnp.maximum(amax, 1e-30) / 127.0)[:, None, None]
     x8 = jnp.round(xf / scale)
     if valid is not None:
         x8 = jnp.clip(x8, -127, 127)

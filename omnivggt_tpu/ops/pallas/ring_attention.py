@@ -443,20 +443,16 @@ def _quant_ring(qf, kf, vf, axis_name, scale):
     scale table the kernels read from SMEM: column 0 = q_s * k_s * softmax
     scale (score dequant), column 1 = v_s (folded into acc / l)."""
 
-    def amax(x):
-        return jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))  # (BH,)
+    from omnivggt_tpu.ops.pallas.flash_attention import _quant_per_head
 
-    q_s = jnp.maximum(amax(qf), 1e-30) / 127.0
-    k_s = jnp.maximum(jax.lax.pmax(amax(kf), axis_name), 1e-30) / 127.0
-    v_s = jnp.maximum(jax.lax.pmax(amax(vf), axis_name), 1e-30) / 127.0
+    def ring_max(a):
+        return jax.lax.pmax(a, axis_name)
 
-    def to8(x, s):
-        return jnp.round(
-            x.astype(jnp.float32) / s[:, None, None]
-        ).astype(jnp.int8)
-
-    c = jnp.stack([q_s * k_s * scale, v_s], axis=1)  # (BH, 2) fp32
-    return to8(qf, q_s), to8(kf, k_s), to8(vf, v_s), c
+    q8, q_s = _quant_per_head(qf)
+    k8, k_s = _quant_per_head(kf, amax_reduce=ring_max)
+    v8, v_s = _quant_per_head(vf, amax_reduce=ring_max)
+    c = jnp.concatenate([q_s * k_s * scale, v_s], axis=1)  # (BH, 2) fp32
+    return q8, k8, v8, c
 
 
 def ring_flash_attention_hbm(

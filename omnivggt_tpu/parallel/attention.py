@@ -74,6 +74,17 @@ def allgather_attention(
         )(q, k, v)
 
     def inner_masked(q, k, v, nv):
+        if qk_int8:
+            # the flash kernel's per-head quant scales exclude rows >=
+            # kv_valid, but q here is a LOCAL shard indexed from this
+            # shard's global offset — zero the padded frames' garbage q
+            # rows instead (their outputs are discarded by the caller, and
+            # zeros cannot perturb the max-abs scales), keeping the
+            # padded-forward == unpadded-forward contract on every shard
+            nl = q.shape[1]
+            start = jax.lax.axis_index(seq_axis) * nl
+            row = start + jnp.arange(nl)
+            q = jnp.where((row < nv[0])[None, :, None, None], q, 0.0)
         k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)
         v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
         return scaled_dot_product_attention(

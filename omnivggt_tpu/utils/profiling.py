@@ -163,7 +163,7 @@ def sharded_attention_roofline(
     bf16, 102 TFLOP/s int8-qk at the D=64 global-attention shape) and the
     measured amortised matmul throughput (175 TFLOP/s), bf16 activations.
     The allgather path runs the local int8-qk flash kernel when the serving
-    config certifies attn_quant (allgather_attn_int8_ms); the fused ring
+    config certifies attn_quant (per_layer['attn_int8_ms']); the fused ring
     kernels also take attn_quant (int8 KV shards with ring-global per-head
     scales — HALF the ICI bytes per rotation), but their on-hardware int8
     compute rate is unmeasured (no multi-chip slice here), so the ring_step

@@ -215,3 +215,43 @@ def test_allgather_attention_qk_int8():
         )
     d = np.max(np.abs(out - ref))
     assert 0 < d < 2e-2, d
+
+
+@needs_8dev
+def test_allgather_qk_int8_padding_scale_isolation():
+    """Bucketed-serving contract under sharding: garbage activations in the
+    padded frames (rows >= kv_valid) must not perturb the real rows' int8
+    quantisation scales — the shard-local q rows past the valid boundary
+    are zeroed before quantisation."""
+    import functools
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(11)
+    B, N, H, D = 1, 8 * 37, 2, 64
+    nv = 200  # straddles shard 5 (rows 185..221)
+    q, k, v = [
+        rng.normal(size=(B, N, H, D)).astype(np.float32) for _ in range(3)
+    ]
+    # simulated padded-frame garbage: x1000 activations past the boundary
+    q[:, nv:] *= 1000.0
+    k[:, nv:] *= 1000.0
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    ref = np.asarray(_attention_xla(q, k, v, kv_valid=nv))[:, :nv]
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        out = np.asarray(
+            pattn.allgather_attention(
+                q, k, v, mesh, "seq", impl="flash", kv_valid=nv,
+                bounded_logits=True, qk_int8=True,
+            )
+        )[:, :nv]
+    d = np.max(np.abs(out - ref))
+    # without the q-zeroing (and the kv_valid scale masking for k), the
+    # x1000 garbage inflates the per-head scales and this blows past 1.0
+    assert 0 < d < 2e-2, d
