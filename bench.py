@@ -78,9 +78,9 @@ def main():
     S = int(os.environ.get("BENCH_VIEWS", "8"))
     H = W = 518
     # serving default since round 3: bf16 trunk AND bf16 heads — checkpoint
-    # load certifies the bf16-head accuracy on a probe batch and falls back
-    # to fp32 when the deltas exceed tolerance (models/omnivggt.py
-    # certify_head_dtype). BENCH_HEAD_DTYPE=float32 benches the
+    # load certifies the fast modes on a probe batch and falls back to
+    # fp32 parity when the deltas exceed tolerance (models/omnivggt.py
+    # certify_fast_modes). BENCH_HEAD_DTYPE=float32 benches the
     # reference-parity fp32-head mode.
     cfg = OmniVGGTConfig(
         head_dtype=os.environ.get("BENCH_HEAD_DTYPE", "bfloat16"),

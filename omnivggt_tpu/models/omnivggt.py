@@ -233,7 +233,14 @@ def _probe_failures(ref, fast, pose_tol, rel_tol):
             rel_tol,
         ),
     }
-    return {k: v for k, (v, tol) in checks.items() if v > tol}
+    # non-finite metrics (NaN/inf probe outputs) must FAIL the gate — the
+    # weight-dependent breakage the ladder exists to catch can surface as
+    # NaN diffs, and `NaN > tol` is False
+    return {
+        k: v
+        for k, (v, tol) in checks.items()
+        if not np.isfinite(v) or v > tol
+    }
 
 
 def certify_head_dtype(
@@ -258,6 +265,11 @@ def certify_head_dtype(
 
     The probe runs at 140 px (or the model's img_size if smaller) so the
     certification costs two small compiles, not two full-resolution ones.
+
+    NOTE: production loaders run the full certify_fast_modes ladder (of
+    which this is the bf16-heads-only rung); this entry point remains for
+    callers who want exactly that one trade-off. Both share _probe_outputs
+    and _probe_failures, so gates cannot drift between them.
     """
     import dataclasses
 
@@ -418,9 +430,12 @@ class OmniVGGT:
     ):
         """Load a converted reference checkpoint.
 
-        head_dtype: "auto" (default) probes bf16 vs fp32 heads on load and
-        defaults to bf16 when the outputs match within tolerance
-        (certify_head_dtype); "float32"/"bfloat16" force that dtype.
+        head_dtype: "auto" (default) walks the full certify_fast_modes
+        ladder on load — W8A8 int8 trunk, int8_ln, bf16 heads + tanh GELU,
+        bf16 heads — and defaults the most aggressive mode whose probe
+        outputs match the fp32 reference-parity forward within tolerance
+        (plus the int8-qk attention upgrade probe). "float32"/"bfloat16"
+        force that head dtype and skip the ladder.
         """
         import dataclasses
 
@@ -463,8 +478,15 @@ class OmniVGGT:
         "bfloat16" force that dtype.
         """
         import os as _os
+        import re as _re
 
-        if not _os.path.isdir(directory) and "/" in directory:
+        # only a plausible 'org/name' id (single slash, no path-like parts)
+        # routes to the hub — a typo'd local path should say 'no such
+        # directory', not attempt a network download
+        looks_like_repo_id = bool(
+            _re.fullmatch(r"[A-Za-z0-9][\w.\-]*/[\w.\-]+", directory)
+        )
+        if not _os.path.isdir(directory) and looks_like_repo_id:
             return cls._from_hub(
                 directory,
                 head_dtype="auto" if head_dtype == "keep" else head_dtype,
@@ -549,6 +571,13 @@ class OmniVGGT:
                                  recursive=True))
         if not files:
             raise RuntimeError(f"no .safetensors file in hub snapshot {snap!r}")
+        if len(files) > 1:
+            raise RuntimeError(
+                f"hub snapshot {snap!r} contains {len(files)} .safetensors "
+                f"files ({[os.path.basename(f) for f in files]}); sharded or "
+                "multi-variant checkpoints are ambiguous — pick one and load "
+                "it with OmniVGGT.from_safetensors(path)."
+            )
         return cls.from_safetensors(files[0], head_dtype=head_dtype)
 
     def __call__(

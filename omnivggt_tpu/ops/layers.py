@@ -244,10 +244,15 @@ def attention(
     if rope_cos is not None:
         # pick the rope form for the attention impl that will consume q/k:
         # matmul rotate-half for the opaque Pallas kernels, concatenate for
-        # XLA attention (which fuses it into its own prologue)
+        # XLA attention (which fuses it into its own prologue). Sharded
+        # strategies resolve on the PER-SHARD shape — allgather/rows can
+        # land on XLA attention too (AttnShard.resolve_impl).
         from omnivggt_tpu.ops.attention import resolve_impl
 
-        mm = shard is not None or resolve_impl(q.shape, impl) != "xla"
+        if shard is not None:
+            mm = shard.resolve_impl(q.shape, impl) != "xla"
+        else:
+            mm = resolve_impl(q.shape, impl) != "xla"
         q = apply_rope(q, rope_cos, rope_sin, prefer_matmul=mm)
         k = apply_rope(k, rope_cos, rope_sin, prefer_matmul=mm)
 

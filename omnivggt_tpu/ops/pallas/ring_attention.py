@@ -54,6 +54,24 @@ MAX_LOCAL_SEQ = 16384  # VMEM-resident KV double-buffer cap at D=64 bf16
 MAX_LOCAL_SEQ_HBM = 28672
 
 
+def hbm_ring_padded_len(
+    nl: int, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K
+) -> int:
+    """Per-device shard length after the HBM-staged kernel's internal
+    padding (round up to lcm(block_q, block_k)) — the value checked against
+    MAX_LOCAL_SEQ_HBM. Single source of truth for the dispatcher
+    (parallel/attention.fused_ring_attention) and the bench roofline."""
+    import math
+
+    return _round_up(nl, math.lcm(block_q, block_k))
+
+
+def fits_hbm_ring(
+    nl: int, block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K
+) -> bool:
+    return hbm_ring_padded_len(nl, block_q, block_k) <= MAX_LOCAL_SEQ_HBM
+
+
 def _ring_neighbors(axis_name: str, n_dev: int):
     """Ring-axis coordinates of the right/left neighbours. The kernels'
     shard_maps are manual over the ring axis ONLY (axis_names={seq_axis}),
@@ -480,7 +498,7 @@ def ring_flash_attention_hbm(
     B, N, H, D = q.shape
     n_dev = mesh.shape[seq_axis]
     nl = N // n_dev
-    nl_pad = _round_up(nl, math.lcm(block_q, block_k))
+    nl_pad = hbm_ring_padded_len(nl, block_q, block_k)
     if nl_pad > MAX_LOCAL_SEQ_HBM:
         raise ValueError(
             f"per-device sequence {nl} (padded {nl_pad}) exceeds the "

@@ -197,18 +197,14 @@ def fused_ring_attention(
     qk_int8 (serving-only, certified): the W8A8 ring — int8 KV shards halve
     the rotation's ICI bytes and the scores run on the 2x-rate int8 MXU.
     The unfused fallback ignores it (bf16 einsums), logged above."""
-    import math
-
     from omnivggt_tpu.ops.pallas.ring_attention import (
-        DEFAULT_BLOCK_K,
-        DEFAULT_BLOCK_Q,
         MAX_LOCAL_SEQ_HBM,
+        fits_hbm_ring,
         ring_flash_attention,
     )
 
     nl = q.shape[1] // mesh.shape[seq_axis]
-    step = math.lcm(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
-    if -(-nl // step) * step > MAX_LOCAL_SEQ_HBM:
+    if not fits_hbm_ring(nl):
         import logging
 
         logging.getLogger(__name__).warning(

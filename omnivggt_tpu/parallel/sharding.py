@@ -27,6 +27,29 @@ class AttnShard:
     kind: str  # "rows" | "allgather" | "ring"
     axis: object = (DATA_AXIS, SEQ_AXIS)  # rows spec or seq axis name
 
+    def resolve_impl(self, shape, impl: str = "auto") -> str:
+        """The attention impl the PER-SHARD compute will actually use, for
+        prologue decisions (e.g. the RoPE form in ops/layers.attention):
+        the ring strategies always consume q/k in a Pallas kernel, while
+        rows/allgather run ops.attention per shard on the shard-local
+        shape — which can resolve to XLA attention, whose fused prologue
+        prefers the concatenate RoPE form."""
+        from omnivggt_tpu.ops import attention as AT
+
+        if self.kind in ("ring", "ring_fused"):
+            return "flash"
+        B, N, H, D = shape
+        if self.kind == "rows":
+            axes = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+            factor = 1
+            for a in axes:
+                factor *= self.mesh.shape.get(a, 1)
+            return AT.resolve_impl((max(B // factor, 1), N, H, D), impl)
+        # allgather: queries stay sequence-sharded; KV is gathered to full
+        # length, and resolve_impl keys on the (query) sequence length
+        n_dev = self.mesh.shape.get(self.axis, 1)
+        return AT.resolve_impl((B, max(N // n_dev, 1), H, D), impl)
+
     def attend(self, q, k, v, impl, kv_valid=None, bounded_logits=False,
                qk_int8=False):
         # qk_int8 reaches rows/allgather (their local compute is the flash

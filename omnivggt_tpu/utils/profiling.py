@@ -185,6 +185,7 @@ def sharded_attention_roofline(
         DEFAULT_BLOCK_K,
         DEFAULT_BLOCK_Q,
         MAX_LOCAL_SEQ_HBM,
+        fits_hbm_ring,
     )
 
     step = math.lcm(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
@@ -225,6 +226,6 @@ def sharded_attention_roofline(
             "ring_step_comm_ms": round(ring_step_comm * 1e3, 3),
             "ring_step_attn_ms": round(ring_step_attn * 1e3, 3),
             "ring_comm_hidden": ring_step_comm <= ring_step_attn,
-            "hbm_ring_ok": nl_pad <= MAX_LOCAL_SEQ_HBM,
+            "hbm_ring_ok": fits_hbm_ring(nl),
         }
     return out

@@ -73,7 +73,7 @@ function mvp(){
  const T=[1,0,0,0, 0,1,0,0, 0,0,1,0, -st.cx+st.px,-st.cy+st.py,-st.cz,1];
  const Z=[1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,-st.dist,1];
  return mul(pm,mul(Z,mul(R1,mul(R2,T))));}
-canvas.addEventListener('mousedown',e=>{st.drag=e.button; st.lx=e.clientX;st.ly=e.clientY;
+canvas.addEventListener('mousedown',e=>{tween=null;st.drag=e.button; st.lx=e.clientX;st.ly=e.clientY;
  st.dx0=e.clientX;st.dy0=e.clientY;e.preventDefault();});
 addEventListener('mouseup',e=>{
  if(st.drag===0&&Math.abs(e.clientX-st.dx0)<4&&Math.abs(e.clientY-st.dy0)<4)pickCamera(e.clientX,e.clientY);
@@ -119,7 +119,7 @@ addEventListener('mousemove',e=>{if(st.drag===undefined)return;
  const dx=e.clientX-st.lx,dy=e.clientY-st.ly;st.lx=e.clientX;st.ly=e.clientY;
  if(st.drag===0&&!e.shiftKey){st.ry+=dx*0.005;st.rx+=dy*0.005;}
  else{st.px+=dx*0.002*st.dist;st.py-=dy*0.002*st.dist;}});
-canvas.addEventListener('wheel',e=>{st.dist*=Math.exp(e.deltaY*0.001);e.preventDefault();});
+canvas.addEventListener('wheel',e=>{tween=null;st.dist*=Math.exp(e.deltaY*0.001);e.preventDefault();});
 function draw(){
  if(tween)tween();
  gl.clearColor(0.07,0.07,0.08,1);gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
