@@ -115,6 +115,19 @@ def apply(
         )
         x = jnp.concatenate([x[:, :1], reg, x[:, 1:]], axis=1)
 
+    # sublane-align the token count (N % 8 == 0) before the block scan: the
+    # block's flattened (B*N, hidden) MLP matmuls then reshape back to the
+    # batched (B, N, hidden) layout as a free bitcast instead of a physical
+    # re-tile (at 518 px N = 1374 ≡ 6 mod 8; the re-tile measured ~9 ms of
+    # the S=8 forward). Pad tokens are masked out of attention as keys
+    # (kv_valid valid-prefix masking — exact: masked keys get weight 0.0),
+    # and LN/MLP act per-token, so valid-token outputs are bit-identical;
+    # the pad rows are sliced off with the cls/register prefix below.
+    n_valid = x.shape[1]
+    n_pad = (-n_valid) % 8
+    if n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
+
     def body(x, block_params):
         x = L.block(
             block_params,
@@ -123,6 +136,7 @@ def apply(
             ln_eps=cfg.ln_eps,
             attn_impl=attn_impl,
             shard=shard,
+            kv_valid=n_valid if n_pad else None,
             approx_gelu=approx_gelu,
             int8_dense=int8_dense,
             int8_qk=int8_qk,
@@ -131,4 +145,4 @@ def apply(
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = L.layer_norm(params["norm"], x, cfg.ln_eps)
-    return x[:, 1 + cfg.num_register_tokens :]
+    return x[:, 1 + cfg.num_register_tokens : n_valid]
