@@ -205,6 +205,7 @@ def apply(
     approx_gelu: bool = False,
     int8_dense=False,
     int8_qk: bool = False,
+    pad_tokens: bool = True,
 ):
     """Run the aggregator.
 
@@ -248,7 +249,7 @@ def apply(
         patch_tokens = dinov2.apply(
             params["patch_embed"], imgs, cfg.backbone, attn_impl=attn_impl,
             shard=frame_shard, approx_gelu=approx_gelu, int8_dense=int8_dense,
-            int8_qk=int8_qk,
+            int8_qk=int8_qk, pad_tokens=pad_tokens,
         )
 
     camera_token = _expand_special_token(params["camera_token"], B, S, dtype)  # (B,S,1,C)

@@ -93,9 +93,16 @@ def apply(
     approx_gelu: bool = False,
     int8_dense=False,
     int8_qk: bool = False,
+    pad_tokens: bool = True,
 ):
     """(B, H, W, 3) NHWC (already mean/std-normalised) -> (B, gh*gw, D)
-    final-LayerNorm'd patch tokens."""
+    final-LayerNorm'd patch tokens.
+
+    pad_tokens: sublane-align the token count (serving/inference default).
+    Training turns it off: attention with kv_valid masking keeps an XLA
+    blockwise-recompute VJP (ops/pallas/flash_attention.py:20 — the fused
+    flash backward is unmasked-only), so padded training would trade the
+    re-tile for a slower, heavier backward."""
     B, H, W, _ = images.shape
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
     dtype = images.dtype
@@ -124,7 +131,7 @@ def apply(
     # and LN/MLP act per-token, so valid-token outputs are bit-identical;
     # the pad rows are sliced off with the cls/register prefix below.
     n_valid = x.shape[1]
-    n_pad = (-n_valid) % 8
+    n_pad = (-n_valid) % 8 if pad_tokens else 0
     if n_pad:
         x = jnp.pad(x, ((0, 0), (0, n_pad), (0, 0)))
 

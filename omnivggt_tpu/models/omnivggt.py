@@ -59,6 +59,7 @@ def apply(
     remat=False,  # False | True/'full' | 'dots' (aggregator remat policy)
     train_rng=None,
     num_valid_frames=None,
+    pad_tokens: bool = True,
 ):
     """Full forward pass.
 
@@ -99,6 +100,7 @@ def apply(
         approx_gelu=cfg.approx_gelu,
         int8_dense=cfg.trunk_quant,
         int8_qk=cfg.attn_quant == "int8",
+        pad_tokens=pad_tokens,
     )
     # the buffer stays in the bf16 trunk dtype; each head upcasts the slice
     # (or frame chunk) it consumes — materialising the whole buffer at fp32
