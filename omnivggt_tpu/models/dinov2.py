@@ -99,10 +99,10 @@ def apply(
     final-LayerNorm'd patch tokens.
 
     pad_tokens: sublane-align the token count (serving/inference default).
-    Training turns it off: attention with kv_valid masking keeps an XLA
-    blockwise-recompute VJP (ops/pallas/flash_attention.py:20 — the fused
-    flash backward is unmasked-only), so padded training would trade the
-    re-tile for a slower, heavier backward."""
+    Training turns it off: the masked backward is fused too, but kv_valid
+    masking costs an extra compare/select pass over every score tile in
+    both backward kernels, while the unpadded path masks nothing — the
+    forward re-tile it would save is cheaper than that."""
     B, H, W, _ = images.shape
     gh, gw = H // cfg.patch_size, W // cfg.patch_size
     dtype = images.dtype

@@ -17,8 +17,10 @@ query blocks. The LSE is stored sublane-oriented ((BH, N, 8), column 0) so
 the per-row broadcasts need no sublane<->lane relayout, and
 delta = rowsum(dO * O) is recomputed in-tile from the dO/O tiles.
 
-The kv_valid (valid-prefix masked) variant keeps an XLA blockwise-recompute
-VJP: it exists for bucketed serving, which never differentiates.
+The kv_valid (valid-prefix masked) variant shares the same fused backward:
+the recompute kernels mask keys >= kv_valid against an SMEM scalar exactly
+like the forward (p = 0 zeroes both the masked keys' dq contributions and
+their own dk/dv rows).
 """
 
 from __future__ import annotations
@@ -391,7 +393,7 @@ def _pick_block(n: int, default: int, align: int) -> int:
 
 def _bwd_recompute(
     q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, *, scale, n_keys,
-    block_k, key_block_idx, bounded=False
+    block_k, key_block_idx, bounded=False, valid_ref=None
 ):
     """Shared backward recompute: returns (p, ds), both (block_q, block_k)
     fp32, where p = softmax(scale * q k^T) rebuilt from the saved LSE and
@@ -410,7 +412,16 @@ def _bwd_recompute(
     )  # (bq, bk)
     if bounded:
         s = jnp.minimum(s, _BOUNDED_CLAMP)
-    if n_keys % block_k != 0:
+    if valid_ref is not None:
+        # dynamic kv_valid (valid-prefix masking): every block masks against
+        # the runtime scalar, mirroring the forward — masked keys get p = 0,
+        # which zeroes their dq contribution AND their own dk/dv rows
+        # (dv = p^T dO, dk = ds^T q with ds = p * (...))
+        key_idx = key_block_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1
+        )
+        s = jnp.where(key_idx < valid_ref[0, 0], s, _NEG_INF)
+    elif n_keys % block_k != 0:
         # zero-padded keys must contribute p=0 to dq (their own dk/dv rows
         # are sliced off by the caller)
         key_idx = key_block_idx * block_k + jax.lax.broadcasted_iota(
@@ -432,11 +443,15 @@ def _bwd_recompute(
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, acc_scr,
-    *, scale, n_keys, block_k, bounded
+    *refs, scale, n_keys, block_k, bounded, dynamic_valid=False
 ):
     """Grid (BH, q_blocks, k_blocks), k innermost: dq[qi] = scale * sum_ki
     ds @ k."""
+    if dynamic_valid:
+        nv_ref, *refs = refs
+    else:
+        nv_ref = None
+    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref, acc_scr = refs
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -447,7 +462,7 @@ def _flash_bwd_dq_kernel(
     _, ds = _bwd_recompute(
         q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         scale=scale, n_keys=n_keys, block_k=block_k, key_block_idx=ki,
-        bounded=bounded,
+        bounded=bounded, valid_ref=nv_ref,
     )
     acc_scr[:] += jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
@@ -460,13 +475,18 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr, *, scale, n_keys, block_k, bounded
+    *refs, scale, n_keys, block_k, bounded, dynamic_valid=False
 ):
     """Grid (BH, k_blocks, q_blocks), q innermost: dv[ki] = sum_qi p^T @ dO,
     dk[ki] = scale * sum_qi ds^T @ q (MXU contracts the sublane dim natively).
     Zero-padded query rows contribute nothing: their dO and O rows are zero,
     so ds = p * (0 - 0) = 0 and p^T @ 0 = 0."""
+    if dynamic_valid:
+        nv_ref, *refs = refs
+    else:
+        nv_ref = None
+    (q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dk_ref, dv_ref,
+     dk_scr, dv_scr) = refs
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -479,7 +499,7 @@ def _flash_bwd_dkv_kernel(
         q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         scale=scale, n_keys=n_keys, block_k=block_k,
         key_block_idx=pl.program_id(1),
-        bounded=bounded,
+        bounded=bounded, valid_ref=nv_ref,
     )
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -496,8 +516,14 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, do, lse, block_q, block_k, bounded=False):
-    """Fused flash-attention backward: (dq, dk, dv) in the input layout."""
+def _flash_backward(
+    q, k, v, o, do, lse, block_q, block_k, bounded=False, kv_valid=None
+):
+    """Fused flash-attention backward: (dq, dk, dv) in the input layout.
+
+    kv_valid: optional traced int32 scalar — mirrors the forward's
+    valid-prefix masking; masked keys get p = 0 in the recompute, zeroing
+    both their dq contribution and their own dk/dv rows."""
     B, N, H, D = q.shape
     Nk = k.shape[1]
     scale = D**-0.5
@@ -530,20 +556,30 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k, bounded=False):
     k_spec_q = pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0))
     row_spec = pl.BlockSpec((1, block_q, 8), lambda b, i, j: (b, i, 0))
 
+    dynamic_valid = kv_valid is not None
+    nv_inputs, nv_specs = [], []
+    if dynamic_valid:
+        nv_inputs = [jnp.asarray(kv_valid, jnp.int32).reshape(1, 1)]
+        nv_specs = [
+            pl.BlockSpec(
+                (1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM
+            )
+        ]
+
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, scale=scale, n_keys=Nk, block_k=block_k,
-            bounded=bounded,
+            bounded=bounded, dynamic_valid=dynamic_valid,
         ),
         grid=(BH, nq, nk),
-        in_specs=[q_spec, k_spec_q, k_spec_q, q_spec, q_spec, row_spec],
+        in_specs=nv_specs + [q_spec, k_spec_q, k_spec_q, q_spec, q_spec, row_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qf, kf, vf, dof, of, lse8)
+    )(*nv_inputs, qf, kf, vf, dof, of, lse8)
 
     # dkv grid: (BH, k_blocks, q_blocks) — q innermost
     q_spec_k = pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, j, 0))
@@ -553,10 +589,10 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k, bounded=False):
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel, scale=scale, n_keys=Nk, block_k=block_k,
-            bounded=bounded,
+            bounded=bounded, dynamic_valid=dynamic_valid,
         ),
         grid=(BH, nk, nq),
-        in_specs=[
+        in_specs=nv_specs + [
             q_spec_k, k_spec_k, k_spec_k, q_spec_k, q_spec_k, row_spec_k
         ],
         out_specs=(k_spec_k, k_spec_k),
@@ -571,7 +607,7 @@ def _flash_backward(q, k, v, o, do, lse, block_q, block_k, bounded=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(qf, kf, vf, dof, of, lse8)
+    )(*nv_inputs, qf, kf, vf, dof, of, lse8)
 
     def from_bhnd(x, n):
         return x[:, :n].reshape(B, H, n, D).transpose(0, 2, 1, 3)
@@ -649,22 +685,23 @@ def _flash_masked(q, k, v, kv_valid, block_q, block_k, bounded):
 
 
 def _masked_fwd(q, k, v, kv_valid, block_q, block_k, bounded):
-    out = _flash_forward(
-        q, k, v, block_q, block_k, kv_valid=kv_valid, bounded=bounded
+    out, lse = _flash_forward(
+        q, k, v, block_q, block_k, kv_valid=kv_valid, return_lse=True,
+        bounded=bounded,
     )
-    return out, (q, k, v, kv_valid)
+    return out, (q, k, v, kv_valid, out, lse)
 
 
 def _masked_bwd(block_q, block_k, bounded, res, g):
+    # fused Pallas backward, same two kernels as the unmasked path — the
+    # recompute masks keys >= kv_valid exactly like the forward, so p = 0
+    # zeroes masked-key contributions to dq and the masked dk/dv rows
     import numpy as _np
 
-    from omnivggt_tpu.ops.attention import _attention_blockwise
-
-    q, k, v, kv_valid = res
-    _, vjp = jax.vjp(
-        lambda q, k, v: _attention_blockwise(q, k, v, kv_valid=kv_valid), q, k, v
+    q, k, v, kv_valid, o, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, o, g, lse, block_q, block_k, bounded, kv_valid=kv_valid
     )
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, _np.zeros((), jax.dtypes.float0)
 
 

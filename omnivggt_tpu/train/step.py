@@ -105,9 +105,9 @@ def make_train_step(
         preds = M.apply(
             params, batch["images"], cfg, aux, sharding=sharding, remat=remat,
             train_rng=train_rng,
-            # no DINO token padding when differentiating: attention with
-            # kv_valid masking keeps an XLA blockwise-recompute VJP, while
-            # the unpadded path gets the fused flash backward
+            # no DINO token padding when differentiating: kv_valid masking
+            # costs a compare/select pass over every score tile in both
+            # fused backward kernels; unpadded attention masks nothing
             pad_tokens=False,
         )
         losses = LS.total_loss(preds, batch, (H, W))

@@ -320,6 +320,46 @@ def test_flash_attention_gradient():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("bounded", [False, True])
+def test_flash_attention_masked_gradient(bounded):
+    """The kv_valid (valid-prefix masked) fused backward matches XLA autodiff
+    through masked attention — including zero gradients for masked keys'
+    k/v rows, and with pad query rows carrying zero cotangents (the caller
+    discards pad outputs, as dinov2.apply's token padding does)."""
+    from omnivggt_tpu.ops.pallas.flash_attention import flash_attention
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(13)
+    NV = 91  # valid prefix of N=96
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 96, 2, 32)).astype(np.float32))
+        for _ in range(3)
+    ]
+    row_w = jnp.asarray((np.arange(96) < NV).astype(np.float32))[None, :, None, None]
+
+    def loss_ref(q, k, v):
+        return jnp.sum((_attention_xla(q, k, v, kv_valid=NV) * row_w) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            (flash_attention(
+                q, k, v, kv_valid=jnp.int32(NV), bounded_logits=bounded
+            ) * row_w) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call", functools.partial(orig, interpret=True)):
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_flash):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+    # masked keys must get exactly zero dk/dv
+    assert np.all(np.asarray(g_flash[1])[:, NV:] == 0)
+    assert np.all(np.asarray(g_flash[2])[:, NV:] == 0)
+
+
 @needs_ref
 @pytest.mark.parametrize(
     "mode,align,antialias,in_hw,out_hw",
