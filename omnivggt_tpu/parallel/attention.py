@@ -230,18 +230,25 @@ def rows_sharded_attention(
     mesh: Mesh,
     rows_spec: P,
     impl: str = "auto",
+    kv_valid=None,
     bounded_logits: bool = False,
     qk_int8: bool = False,
 ) -> jnp.ndarray:
     """Embarrassingly-parallel attention with the batch/rows dim sharded
     (frame attention: each frame attends within itself, no communication).
-    shard_map keeps the Pallas kernel usable per shard."""
+    shard_map keeps the Pallas kernel usable per shard.
+
+    kv_valid: optional token-level valid prefix WITHIN each row's sequence
+    (e.g. dinov2.apply's sublane-alignment padding) — the sequence dim is
+    unsharded here, so the same prefix applies on every shard. Static ints
+    are closed over; traced scalars rely on shard_map's replicated-closure
+    capture."""
     spec = P(rows_spec, None, None, None) if isinstance(rows_spec, (str, tuple)) else rows_spec
 
     def inner(q, k, v):
         return scaled_dot_product_attention(
-            q, k, v, impl=impl, bounded_logits=bounded_logits,
-            qk_int8=qk_int8,
+            q, k, v, impl=impl, kv_valid=kv_valid,
+            bounded_logits=bounded_logits, qk_int8=qk_int8,
         )
 
     return shard_map(

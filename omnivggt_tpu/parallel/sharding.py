@@ -57,13 +57,13 @@ class AttnShard:
         # per-head scales — half the ICI bytes); only the unfused ppermute
         # ring ignores it (bf16 einsums)
         if self.kind == "rows":
-            if kv_valid is not None:
-                raise ValueError(
-                    "kv_valid does not apply to rows-sharded (per-frame) "
-                    "attention"
-                )
+            # kv_valid here is a TOKEN-level valid prefix within each row's
+            # (unsharded) sequence — e.g. dinov2.apply's sublane-alignment
+            # padding — which applies identically on every shard. (Frame-
+            # level bucketed-serving masking never reaches rows attention:
+            # per-frame attention has no cross-frame keys to mask.)
             return pattn.rows_sharded_attention(
-                q, k, v, self.mesh, self.axis, impl=impl,
+                q, k, v, self.mesh, self.axis, impl=impl, kv_valid=kv_valid,
                 bounded_logits=bounded_logits, qk_int8=qk_int8,
             )
         if self.kind == "allgather":
