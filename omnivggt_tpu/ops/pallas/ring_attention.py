@@ -32,6 +32,7 @@ ring arrival order is irrelevant to the result.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -61,8 +62,6 @@ def hbm_ring_padded_len(
     padding (round up to lcm(block_q, block_k)) — the value checked against
     MAX_LOCAL_SEQ_HBM. Single source of truth for the dispatcher
     (parallel/attention.fused_ring_attention) and the bench roofline."""
-    import math
-
     return _round_up(nl, math.lcm(block_q, block_k))
 
 
@@ -493,8 +492,6 @@ def ring_flash_attention_hbm(
     qk_int8: W8A8 ring (serving-only) — int8 KV shards HALVE the ICI bytes
     per rotation and the HBM ring footprint; scores run on the 2x-rate int8
     MXU (see _quant_ring for the scale plumbing)."""
-    import math
-
     B, N, H, D = q.shape
     n_dev = mesh.shape[seq_axis]
     nl = N // n_dev

@@ -40,7 +40,19 @@ class AttnShard:
             return "flash"
         B, N, H, D = shape
         if self.kind == "rows":
-            axes = self.axis if isinstance(self.axis, tuple) else (self.axis,)
+            # axis may be a str, a tuple of mesh axes, or a full
+            # PartitionSpec whose FIRST entry shards the rows dim (the forms
+            # attend()/rows_sharded_attention accept) — all must resolve on
+            # the same per-shard batch the shard_map body will see
+            rows = self.axis
+            if isinstance(rows, P):
+                rows = rows[0] if len(rows) else None
+            if rows is None:
+                axes = ()
+            elif isinstance(rows, tuple):
+                axes = rows
+            else:
+                axes = (rows,)
             factor = 1
             for a in axes:
                 factor *= self.mesh.shape.get(a, 1)

@@ -213,7 +213,6 @@ def sharded_attention_roofline(
         t_dense = 24 * nl * embed_dim * embed_dim / matmul_flops_per_s
         ring_step_comm = 2 * nl * HD * bytes_per_elem / ici_bytes_per_s
         ring_step_attn = 4 * nl * nl * HD / flash_flops_per_s
-        nl_pad = -(-nl // step) * step
         out["per_layer"][S] = {
             "tokens_per_device": nl,
             "allgather_ms": round(t_allgather * 1e3, 3),
