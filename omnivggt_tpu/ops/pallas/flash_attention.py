@@ -246,15 +246,27 @@ def _quant_per_head(x, valid=None, amax_reduce=None):
 
 def _flash_forward(
     q, k, v, block_q, block_k, kv_valid=None, return_lse=False,
-    bounded=False, qk_int8=False,
+    bounded=False, qk_int8=False, k_quant=None,
 ):
     B, N, H, D = q.shape
-    Nk = k.shape[1]
     scale = D**-0.5
     if qk_int8 and return_lse:
         raise ValueError("qk_int8 is a serving-only forward mode (no LSE)")
 
-    qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    if k_quant is not None:
+        # pre-quantised K: (k8 (BH, Nk, D) int8, k_scale (BH, 1) fp32) from
+        # the caller — the sharded allgather strategy quantises LOCAL K
+        # shards with pmax-global scales and gathers int8 (half the ICI
+        # bytes, 1/n_dev the quant work; bit-identical grid to quantising
+        # the gathered array). kv_valid scale masking happens upstream.
+        if not qk_int8 or kv_valid is not None:
+            raise ValueError("k_quant requires qk_int8 and no kv_valid")
+        kf, k_scale = k_quant
+        Nk = kf.shape[1]
+        qf, vf = to_bhnd(q), to_bhnd(v)
+    else:
+        Nk = k.shape[1]
+        qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
 
     block_q = _pick_block(N, block_q, 8)
     block_k = _pick_block(Nk, block_k, 128)
@@ -288,7 +300,10 @@ def _flash_forward(
         # valid prefix applies to queries in this self-attention, and the
         # caller discards the padded query outputs
         qf, q_scale = _quant_per_head(qf, valid=kv_valid)
-        kf, k_scale = _quant_per_head(kf, valid=kv_valid)
+        if k_quant is None:
+            kf, k_scale = _quant_per_head(kf, valid=kv_valid)
+        else:
+            k_scale = k_quant[1]
         c = (q_scale * k_scale * scale).astype(jnp.float32)  # (BH, 1)
 
     grid = (B * H, qf.shape[1] // block_q, kf.shape[1] // block_k)
@@ -617,7 +632,7 @@ def _flash_backward(
 
 def flash_attention(
     q, k, v, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, kv_valid=None,
-    bounded_logits=False, qk_int8=False,
+    bounded_logits=False, qk_int8=False, k_quant=None,
 ):
     """Non-causal flash attention over (B, N, H, D) tensors; differentiable
     (except qk_int8 mode, which is serving-only).
@@ -645,8 +660,10 @@ def flash_attention(
             block_k = DEFAULT_INT8_BLOCK_K
         return _flash_forward(
             q, k, v, block_q, block_k, kv_valid=kv_valid,
-            bounded=bounded_logits, qk_int8=True,
+            bounded=bounded_logits, qk_int8=True, k_quant=k_quant,
         )
+    if k_quant is not None:
+        raise ValueError("k_quant requires qk_int8")
     if kv_valid is None:
         return _flash_unmasked(q, k, v, block_q, block_k, bounded_logits)
     return _flash_masked(

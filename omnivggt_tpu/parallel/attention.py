@@ -52,13 +52,54 @@ def allgather_attention(
     restores global token order, so the valid prefix stays a prefix.
 
     qk_int8: per-shard W8A8 flash score matmuls (ops/pallas qk_int8). Each
-    device quantises its local q rows and the (identical) gathered KV with
-    its own per-head scales, so the sharded result matches the
-    single-device int8 forward up to the shard-local q scales — the same
-    8-bit noise level the serving certification gates."""
+    device quantises its local q rows with its own per-head scales, so the
+    sharded result matches the single-device int8 forward up to the
+    shard-local q scales — the same 8-bit noise level the serving
+    certification gates. K is quantised BEFORE the gather (local shard,
+    pmax-global scales — bit-identical grid to quantising the gathered
+    array) so the gather ships int8 K: half the K bytes on ICI and
+    1/n_dev of the quant work per device. The kv_valid (bucketed serving)
+    path keeps the gather-then-quantise order: its scale masking needs the
+    global row index."""
     spec = _qkv_spec(seq_axis)
 
     if kv_valid is None:
+        from omnivggt_tpu.ops.attention import resolve_impl
+
+        B, N, H, D = q.shape
+        n_dev = mesh.shape[seq_axis]
+        if qk_int8 and resolve_impl(
+            (B, max(N // n_dev, 1), H, D), impl
+        ) == "flash":
+            # pre-gather int8 K: each device quantises its LOCAL K shard
+            # with pmax-GLOBAL per-head scales (== the scales of the
+            # gathered array, so the int8 grid — and the output — is
+            # bit-identical to quantising K after the gather), then gathers
+            # int8: half the K bytes on ICI and 1/n_dev the quant work.
+            # V stays bf16: the kernel's p @ v matmul consumes bf16 and the
+            # folded row-sum ones-column doesn't survive an int8 grid.
+            from omnivggt_tpu.ops.pallas.flash_attention import (
+                _quant_per_head,
+                flash_attention,
+                to_bhnd,
+            )
+
+            def inner_q8(q, k, v):
+                k8, k_s = _quant_per_head(
+                    to_bhnd(k),
+                    amax_reduce=lambda a: jax.lax.pmax(a, seq_axis),
+                )
+                k8_full = jax.lax.all_gather(k8, seq_axis, axis=1, tiled=True)
+                v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
+                return flash_attention(
+                    q, None, v_full, bounded_logits=bounded_logits,
+                    qk_int8=True, k_quant=(k8_full, k_s),
+                )
+
+            return shard_map(
+                inner_q8, mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(q, k, v)
 
         def inner(q, k, v):
             k_full = jax.lax.all_gather(k, seq_axis, axis=1, tiled=True)

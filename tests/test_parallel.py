@@ -218,6 +218,59 @@ def test_allgather_attention_qk_int8():
 
 
 @needs_8dev
+def test_allgather_qk_int8_pregather_exactness():
+    """The pre-gather int8 K path (local shard quantised with pmax-global
+    scales, gathered int8 — half the K bytes on ICI) must be BIT-IDENTICAL
+    to gather-then-quantise: the pmax of the shard-local per-head max-abs
+    IS the max-abs of the gathered array, so the int8 grid is the same."""
+    import functools
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from omnivggt_tpu.ops.attention import scaled_dot_product_attention
+
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(7)
+    B, N, H, D = 1, 8 * 37, 2, 64
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+
+    # gather-then-quantise reference (the pre-pregather implementation)
+    spec = P(None, "seq", None, None)
+
+    def inner_old(q, k, v):
+        k_full = jax.lax.all_gather(k, "seq", axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, "seq", axis=1, tiled=True)
+        return scaled_dot_product_attention(
+            q, k_full, v_full, impl="flash", bounded_logits=True,
+            qk_int8=True,
+        )
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        old = np.asarray(
+            shard_map(
+                inner_old, mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(q, k, v)
+        )
+        new = np.asarray(
+            pattn.allgather_attention(
+                q, k, v, mesh, "seq", impl="flash", bounded_logits=True,
+                qk_int8=True,
+            )
+        )
+    np.testing.assert_array_equal(new, old)
+
+
+@needs_8dev
 def test_allgather_qk_int8_padding_scale_isolation():
     """Bucketed-serving contract under sharding: garbage activations in the
     padded frames (rows >= kv_valid) must not perturb the real rows' int8
