@@ -92,6 +92,10 @@ def main():
         # int8-qk flash score matmuls (certified-by-default serving mode;
         # BENCH_ATTN_QUANT=none for the bf16 score path)
         attn_quant=os.environ.get("BENCH_ATTN_QUANT", "int8"),
+        # BENCH_HEAD_QUANT=int8 benches W8A8 DPT-head convs (not a default:
+        # tools/bench_int8_conv.py must first show int8 convs beat bf16
+        # on this chip)
+        head_quant=os.environ.get("BENCH_HEAD_QUANT", "none"),
     )
 
     params = jax.jit(lambda k: M.init(k, cfg))(jax.random.PRNGKey(0))

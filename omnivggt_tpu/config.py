@@ -155,6 +155,10 @@ class DPTHeadConfig:
     down_ratio: int = 1
     frames_chunk_size: int = 8
     ln_eps: float = 1e-5
+    # "none" | "int8": W8A8 for the heavy 3x3 convs (RCU, layer_rn,
+    # output convs — not the final regression 1x1). Set via
+    # OmniVGGTConfig.head_quant; see ops/layers.qconv2d_int8.
+    quant: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,6 +203,13 @@ class OmniVGGTConfig:
     # qk-normed inputs. Serving-only; certified per-checkpoint by the same
     # ladder as trunk_quant.
     attn_quant: str = "none"
+    # DPT-head conv quantisation: "none" | "int8" — W8A8 for the heavy 3x3
+    # convs (ops/layers.qconv2d_int8; the final regression 1x1 stays
+    # full-precision). Serving-only and NOT in the automatic certification
+    # ladder: whether int8 convs beat bf16 on this chip is measured by
+    # tools/bench_int8_conv.py first (XLA may not lower s8 convs onto the
+    # int8 MXU); opt in explicitly once the measurement says yes.
+    head_quant: str = "none"
     # permit the fixed-max flash softmax for qk-normed attention (exact up to
     # float rounding while the weight-dependent logit bound holds; checkpoint
     # loading verifies the bound via utils/validation.qk_logit_bound and
@@ -229,6 +240,7 @@ class OmniVGGTConfig:
                     getattr(self, name),
                     dim_in=2 * self.embed_dim,
                     patch_size=self.patch_size,
+                    quant=self.head_quant,
                 ),
             )
         if self.trunk_quant not in ("none", "int8", "int8_ln"):
@@ -239,6 +251,10 @@ class OmniVGGTConfig:
         if self.attn_quant not in ("none", "int8"):
             raise ValueError(
                 f"attn_quant must be 'none' or 'int8', got {self.attn_quant!r}"
+            )
+        if self.head_quant not in ("none", "int8"):
+            raise ValueError(
+                f"head_quant must be 'none' or 'int8', got {self.head_quant!r}"
             )
 
     @property

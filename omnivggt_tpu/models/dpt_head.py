@@ -107,23 +107,23 @@ def _deconv_same_ks(p, x: jnp.ndarray, k: int) -> jnp.ndarray:
     return y + p["b"].astype(x.dtype)
 
 
-def _rcu(p, x):
+def _rcu(p, x, int8=False):
     # NOTE: the reference's ResidualConvUnit uses nn.ReLU(inplace=True)
     # (dpt_head.py:315,389), which mutates its input — so the skip connection
     # effectively adds relu(x), not x. We reproduce that exact semantics.
     xr = jax.nn.relu(x)
-    out = L.conv2d(p["conv1"], xr, padding=((1, 1), (1, 1)))
+    out = L.conv2d(p["conv1"], xr, padding=((1, 1), (1, 1)), int8=int8)
     out = jax.nn.relu(out)
-    out = L.conv2d(p["conv2"], out, padding=((1, 1), (1, 1)))
+    out = L.conv2d(p["conv2"], out, padding=((1, 1), (1, 1)), int8=int8)
     return out + xr
 
 
-def _fusion(p, x, residual=None, size=None):
+def _fusion(p, x, residual=None, size=None, int8=False):
     """FeatureFusionBlock (dpt_head.py:402-469): optional residual RCU add,
     RCU, bilinear align-corners resize, 1x1 out conv."""
     if residual is not None:
-        x = x + _rcu(p["rcu1"], residual)
-    x = _rcu(p["rcu2"], x)
+        x = x + _rcu(p["rcu1"], residual, int8=int8)
+    x = _rcu(p["rcu2"], x, int8=int8)
     if size is None:
         size = (x.shape[-3] * 2, x.shape[-2] * 2)
     x = interpolate(x, size, mode="bilinear", align_corners=True)
@@ -204,16 +204,22 @@ def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
             x = L.conv2d(params["resize"][3], x, stride=(2, 2), padding=((1, 1), (1, 1)))
         out_levels.append(x)
 
+    # W8A8 for the heavy 3x3 convs (serving-only, cfg.quant via
+    # OmniVGGTConfig.head_quant); the projects/resize/out_conv 1x1s and the
+    # final regression conv stay full-precision
+    q8 = cfg.quant == "int8"
     l1, l2, l3, l4 = [
-        L.conv2d(params["layer_rn"][i], out_levels[i], padding=((1, 1), (1, 1)))
+        L.conv2d(params["layer_rn"][i], out_levels[i],
+                 padding=((1, 1), (1, 1)), int8=q8)
         for i in range(4)
     ]
 
-    out = _fusion(params["refinenet4"], l4, size=l3.shape[-3:-1])
-    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-3:-1])
-    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-3:-1])
-    out = _fusion(params["refinenet1"], out, l1)
-    out = L.conv2d(params["output_conv1"], out, padding=((1, 1), (1, 1)))
+    out = _fusion(params["refinenet4"], l4, size=l3.shape[-3:-1], int8=q8)
+    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-3:-1], int8=q8)
+    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-3:-1], int8=q8)
+    out = _fusion(params["refinenet1"], out, l1, int8=q8)
+    out = L.conv2d(params["output_conv1"], out, padding=((1, 1), (1, 1)),
+                   int8=q8)
 
     target = (
         int(ph * cfg.patch_size / cfg.down_ratio),
@@ -224,7 +230,8 @@ def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
         out = _apply_pos_embed(out, W, H)
     if cfg.feature_only:
         return out
-    out = L.conv2d(params["output_conv2"]["conv1"], out, padding=((1, 1), (1, 1)))
+    out = L.conv2d(params["output_conv2"]["conv1"], out,
+                   padding=((1, 1), (1, 1)), int8=q8)
     out = jax.nn.relu(out)
     out = L.conv2d(params["output_conv2"]["conv2"], out, padding="VALID")
     return out

@@ -167,8 +167,12 @@ def drop_path(key, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     return x * (mask.astype(x.dtype) / keep)
 
 
-def conv2d(p, x: jnp.ndarray, stride=(1, 1), padding="SAME") -> jnp.ndarray:
-    """NHWC conv with HWIO weights."""
+def conv2d(
+    p, x: jnp.ndarray, stride=(1, 1), padding="SAME", int8: bool = False
+) -> jnp.ndarray:
+    """NHWC conv with HWIO weights. int8=True runs W8A8 (qconv2d_int8)."""
+    if int8:
+        return qconv2d_int8(p, x, stride=stride, padding=padding)
     y = jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
@@ -179,6 +183,38 @@ def conv2d(p, x: jnp.ndarray, stride=(1, 1), padding="SAME") -> jnp.ndarray:
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
+
+
+def qconv2d_int8(p, x: jnp.ndarray, stride=(1, 1), padding="SAME") -> jnp.ndarray:
+    """W8A8 NHWC conv: per-out-channel weight quant (trace-time, like
+    qlinear_int8), dynamic per-image activation quant, s8xs8->s32
+    convolution, dequant + bias in the epilogue.
+
+    config.head_quant routes the DPT-head convs here (serving-only,
+    certified per-checkpoint); whether the int8 conv actually beats bf16 on
+    this chip is measured by tools/bench_int8_conv.py — the mode stays out
+    of the automatic certification ladder until the measurement says yes."""
+    w = p["w"]
+    ws = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+    ws = jnp.maximum(ws, 1e-12) / 127.0  # (out,)
+    wq = jnp.round(w.astype(jnp.float32) / ws).astype(jnp.int8)
+
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
+    ax = jnp.maximum(ax, 1e-12) / 127.0  # (B, 1, 1, 1)
+    xq = jnp.round(x.astype(jnp.float32) / ax).astype(jnp.int8)
+
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * ax * ws
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -77,11 +77,12 @@ def make_train_step(
     Stochastic depth (cfg.aggregator.drop_path_rate > 0) draws a fresh rng
     per step by folding the step counter into `seed`.
     """
-    if cfg.trunk_quant != "none" or cfg.attn_quant != "none":
+    if (cfg.trunk_quant != "none" or cfg.attn_quant != "none"
+            or cfg.head_quant != "none"):
         # the W8A8 paths' round() has a zero gradient — serving modes only
         raise ValueError(
-            "trunk_quant/attn_quant are serving-only fast modes (round() "
-            "kills the gradient); train with both set to 'none'"
+            "trunk_quant/attn_quant/head_quant are serving-only fast modes "
+            "(round() kills the gradient); train with all set to 'none'"
         )
     base_rng = jax.random.PRNGKey(seed)
 

@@ -263,3 +263,42 @@ def test_int8_trunk_close_to_fp32():
         dataclasses.replace(cfg, trunk_quant="int4")
     with pytest.raises(ValueError, match="attn_quant"):
         dataclasses.replace(cfg, attn_quant="int4")
+
+
+def test_int8_head_convs_close_to_fp32():
+    """head_quant='int8' (W8A8 DPT convs) stays at the 8-bit noise level on
+    the dense outputs, leaves pose_enc untouched (the camera head is not
+    quantised), and is refused by the train step."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import optax
+
+    from omnivggt_tpu.models import omnivggt as M
+    from omnivggt_tpu.train.step import make_train_step
+
+    cfg = tiny_test_config()
+    model = OmniVGGT(cfg, seed=1)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(size=(1, 2, 28, 28, 3)).astype(np.float32))
+
+    exact = M.apply(model.params, imgs, cfg)
+    quant = M.apply(
+        model.params, imgs, dataclasses.replace(cfg, head_quant="int8")
+    )
+    np.testing.assert_array_equal(
+        np.asarray(exact["pose_enc"]), np.asarray(quant["pose_enc"])
+    )
+    d_ref = np.asarray(exact["depth"])
+    d = np.median(
+        np.abs(d_ref - np.asarray(quant["depth"])) / (np.abs(d_ref) + 1e-3)
+    )
+    assert 0 < d < 5e-2, d
+    assert np.isfinite(np.asarray(quant["world_points"])).all()
+
+    with pytest.raises(ValueError, match="serving-only"):
+        make_train_step(
+            dataclasses.replace(cfg, head_quant="int8"), optax.sgd(1e-3)
+        )
+    with pytest.raises(ValueError, match="head_quant"):
+        dataclasses.replace(cfg, head_quant="int4")

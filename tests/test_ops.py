@@ -360,6 +360,38 @@ def test_flash_attention_masked_gradient(bounded):
     assert np.all(np.asarray(g_flash[2])[:, NV:] == 0)
 
 
+def test_qconv2d_int8_matches_fp_conv():
+    """W8A8 conv (per-out-channel weight + per-image activation scales)
+    tracks the fp conv at the 8-bit noise level, and its int8 accumulation
+    is exact: dequantising the s32 conv of the quantised operands
+    reproduces the fp conv OF the quantised operands bitwise."""
+    from omnivggt_tpu.ops.layers import conv2d, qconv2d_int8
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 12, 14, 16)).astype(np.float32))
+    p = {
+        "w": jnp.asarray(rng.normal(size=(3, 3, 16, 8)).astype(np.float32) * 0.1),
+        "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+    }
+    ref = np.asarray(conv2d(p, x, padding=((1, 1), (1, 1))))
+    out = np.asarray(qconv2d_int8(p, x, padding=((1, 1), (1, 1))))
+    # quant noise: |err| <~ K * (a_scale*|w| + w_scale*|a|) summed over the
+    # 3x3x16 receptive field — checked against an empirical 8-bit bound
+    scale = np.abs(ref).max()
+    assert np.max(np.abs(out - ref)) < 0.05 * scale, np.max(np.abs(out - ref))
+
+    # exactness of the integer path itself
+    ws = np.abs(np.asarray(p["w"])).max(axis=(0, 1, 2)) / 127.0
+    wq = np.round(np.asarray(p["w"]) / ws)
+    ax = np.abs(np.asarray(x)).max(axis=(1, 2, 3), keepdims=True) / 127.0
+    xq = np.round(np.asarray(x) / ax)
+    ref_q = np.asarray(
+        conv2d({"w": jnp.asarray(wq)}, jnp.asarray(xq),
+               padding=((1, 1), (1, 1)))
+    ) * ax * ws + np.asarray(p["b"])
+    np.testing.assert_allclose(out, ref_q, rtol=1e-6, atol=1e-5)
+
+
 @needs_ref
 @pytest.mark.parametrize(
     "mode,align,antialias,in_hw,out_hw",
