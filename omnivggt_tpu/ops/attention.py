@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # sequences at or below this length just materialise the score matrix
 _XLA_MAX_SEQ = 4096
@@ -41,8 +42,15 @@ _NEG_INF = -1e30
 
 def _attention_xla(q, k, v, kv_valid=None):
     """(B, N, H, D) full attention with fp32 softmax. kv_valid (optional
-    traced int32 scalar) masks keys at positions >= kv_valid — the valid
-    prefix form used to make padded frames invisible (serving bucket mode)."""
+    int) masks keys at positions >= kv_valid — the valid prefix form used
+    to make padded frames (serving bucket mode) or alignment-pad tokens
+    (dinov2.apply) invisible. A STATIC kv_valid slices K/V instead: the
+    slice copies two (B, nv, H, D) arrays, far cheaper than a select pass
+    over the (B, H, N, N) score tensor, and the softmax then reduces over
+    exactly the valid keys (matching the unpadded computation bitwise)."""
+    if kv_valid is not None and isinstance(kv_valid, (int, np.integer)):
+        k, v = k[:, :kv_valid], v[:, :kv_valid]
+        kv_valid = None
     D = q.shape[-1]
     scale = D**-0.5
     scores = jnp.einsum(
@@ -132,7 +140,7 @@ def resolve_impl(shape, impl: str = "auto") -> str:
 @functools.partial(
     jax.jit, static_argnames=("impl", "bounded_logits", "qk_int8")
 )
-def scaled_dot_product_attention(
+def _sdpa_jit(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -141,20 +149,6 @@ def scaled_dot_product_attention(
     bounded_logits: bool = False,
     qk_int8: bool = False,
 ) -> jnp.ndarray:
-    """Non-causal multi-head attention over (B, N, H, D) tensors.
-
-    kv_valid: optional traced int32 scalar — keys at positions >= kv_valid are
-    masked out of the softmax (valid-prefix masking; used to make padded
-    frames exact no-ops in bucketed serving).
-
-    bounded_logits: caller-guaranteed |scores| << 80 (qk-normed inputs); lets
-    the flash kernel skip its running-max pass. Ignored by the xla/blockwise
-    implementations (their softmax is already fused by XLA).
-
-    qk_int8: run the flash kernel's score matmul W8A8 on the 2x-rate int8
-    MXU (serving-only; certified per-checkpoint). Only the flash impl honors
-    it — xla/blockwise sequences are short/fallback paths where the per-head
-    quantisation pass would not pay for itself."""
     impl = resolve_impl(q.shape, impl)
     if impl == "xla":
         return _attention_xla(q, k, v, kv_valid=kv_valid)
@@ -168,3 +162,44 @@ def scaled_dot_product_attention(
             qk_int8=qk_int8,
         )
     raise ValueError(f"unknown attention impl: {impl}")
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str = "auto",
+    kv_valid=None,
+    bounded_logits: bool = False,
+    qk_int8: bool = False,
+) -> jnp.ndarray:
+    """Non-causal multi-head attention over (B, N, H, D) tensors.
+
+    kv_valid: optional int32 scalar — keys at positions >= kv_valid are
+    masked out of the softmax (valid-prefix masking; used to make padded
+    frames in bucketed serving and alignment-pad tokens in dinov2.apply
+    exact no-ops). A STATIC (Python int) kv_valid on the XLA path slices
+    K/V before the jit boundary instead: two (B, nv, H, D) copies beat a
+    select pass over the (B, H, N, N) score tensor, and the softmax then
+    reduces over exactly the valid keys (bitwise == the unpadded
+    computation). Traced scalars keep the select mask.
+
+    bounded_logits: caller-guaranteed |scores| << 80 (qk-normed inputs); lets
+    the flash kernel skip its running-max pass. Ignored by the xla/blockwise
+    implementations (their softmax is already fused by XLA).
+
+    qk_int8: run the flash kernel's score matmul W8A8 on the 2x-rate int8
+    MXU (serving-only; certified per-checkpoint). Only the flash impl honors
+    it — xla/blockwise sequences are short/fallback paths where the per-head
+    quantisation pass would not pay for itself."""
+    if (
+        kv_valid is not None
+        and isinstance(kv_valid, (int, np.integer))
+        and resolve_impl(q.shape, impl) == "xla"
+    ):
+        k, v = k[:, : int(kv_valid)], v[:, : int(kv_valid)]
+        kv_valid = None
+    return _sdpa_jit(
+        q, k, v, impl=impl, kv_valid=kv_valid,
+        bounded_logits=bounded_logits, qk_int8=qk_int8,
+    )
