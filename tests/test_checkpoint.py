@@ -150,6 +150,15 @@ def test_from_pretrained_hub_path_clear_error():
         OmniVGGT.from_pretrained("someorg/OmniVGGT")
 
 
+def test_from_pretrained_typod_local_path_not_hub():
+    """Only a plausible 'org/name' id routes to the hub: a typo'd local
+    path (absolute, or with multiple slashes) must raise the local
+    file-not-found error rather than attempt a network download."""
+    for bad in ("/no/such/dir", "some/nested/path", "./relative/dir"):
+        with pytest.raises(FileNotFoundError):
+            OmniVGGT.from_pretrained(bad)
+
+
 def test_certify_fast_modes_ladder():
     """certify_fast_modes defaults the most aggressive passing mode (bf16
     heads + tanh GELU), and walks down the ladder as gates tighten."""
