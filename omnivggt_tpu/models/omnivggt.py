@@ -362,21 +362,24 @@ def certify_fast_modes(
     # attn_quant upgrade probe: orthogonal to the trunk ladder; its error is
     # an order of magnitude below the other fast modes, so it is attempted
     # on whatever won above (including the parity fallback) and kept only
-    # when the same gates pass. The probe MUST run at a frame count where
-    # the flash kernel actually dispatches (ops/attention._FLASH_MIN_SEQ =
-    # 1024 tokens): at the default 140 px probe, S=2 gives N=210 where
-    # qk_int8 is inert and the gate would pass vacuously — S=10 gives
-    # N=1050. (Tiny test configs stay below the threshold at any S; there
-    # the serving attention is xla anyway, so the trivially-certified flag
-    # is genuinely inert.)
-    attn_probe_s = max(probe_s, 10)
+    # when the gates pass AGAINST THE REFERENCE-PARITY forward — gating
+    # against the winning rung instead would let the served config drift up
+    # to 2x the advertised tolerance from parity (rung-vs-ref + attn-vs-
+    # rung compounding). The probe MUST also run at a per-frame token count
+    # where the flash kernel dispatches for EVERY attention family
+    # (ops/attention._FLASH_MIN_SEQ = 1024 tokens): the 140 px ladder probe
+    # leaves frame and DINOv2 attention on XLA (105 tokens/frame) where
+    # qk_int8 is inert, so it gates only global attention — 448 px gives
+    # 1029 tokens/frame and exercises frame, DINO, AND global int8 paths at
+    # the serving dispatch thresholds. (Tiny test configs stay below the
+    # threshold at any size; there the serving attention is xla anyway, so
+    # the trivially-certified flag is genuinely inert.)
+    attn_hw = min(448, cfg.img_size)
+    attn_hw -= attn_hw % cfg.patch_size
     upgraded = dataclasses.replace(best, attn_quant="int8")
-    # gate against the WINNING rung at the attn probe shape — this isolates
-    # the int8-attention error itself (the base rung's own certified deltas
-    # would otherwise confound the comparison at the larger frame count)
-    base_a = _probe_outputs(params, best, probe_hw, attn_probe_s)
+    ref_a = _probe_outputs(params, cfg, attn_hw, probe_s)
     failed = _probe_failures(
-        base_a, _probe_outputs(params, upgraded, probe_hw, attn_probe_s),
+        ref_a, _probe_outputs(params, upgraded, attn_hw, probe_s),
         pose_tol, rel_tol,
     )
     if not failed:

@@ -462,12 +462,24 @@ def _quant_ring(qf, kf, vf, axis_name, scale):
 
     from omnivggt_tpu.ops.pallas.flash_attention import _quant_per_head
 
-    def ring_max(a):
-        return jax.lax.pmax(a, axis_name)
-
     q8, q_s = _quant_per_head(qf)
-    k8, k_s = _quant_per_head(kf, amax_reduce=ring_max)
-    v8, v_s = _quant_per_head(vf, amax_reduce=ring_max)
+    # ONE fused pmax for the k and v per-head maxes: two back-to-back tiny
+    # (BH,) all-reduces per layer would each pay a latency-bound ICI round
+    # trip; stacking them halves the small-collective count on the hot path
+    kv_amax = jax.lax.pmax(
+        jnp.stack(
+            [
+                jnp.max(jnp.abs(kf.astype(jnp.float32)), axis=(1, 2)),
+                jnp.max(jnp.abs(vf.astype(jnp.float32)), axis=(1, 2)),
+            ],
+            axis=-1,
+        ),
+        axis_name,
+    )  # (BH, 2)
+    kv_s = jnp.maximum(kv_amax, 1e-30) / 127.0
+    k_s, v_s = kv_s[:, :1], kv_s[:, 1:]
+    k8 = jnp.round(kf.astype(jnp.float32) / k_s[:, :, None]).astype(jnp.int8)
+    v8 = jnp.round(vf.astype(jnp.float32) / v_s[:, :, None]).astype(jnp.int8)
     c = jnp.concatenate([q_s * k_s * scale, v_s], axis=1)  # (BH, 2) fp32
     return q8, k8, v8, c
 

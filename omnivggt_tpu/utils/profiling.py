@@ -165,9 +165,12 @@ def sharded_attention_roofline(
     The allgather path runs the local int8-qk flash kernel when the serving
     config certifies attn_quant (per_layer['attn_int8_ms']); the fused ring
     kernels also take attn_quant (int8 KV shards with ring-global per-head
-    scales — HALF the ICI bytes per rotation), but their on-hardware int8
-    compute rate is unmeasured (no multi-chip slice here), so the ring_step
-    numbers conservatively keep the bf16 rate.
+    scales — HALF the ICI bytes per rotation: ring_step_comm_int8_ms and
+    ring_comm_hidden_int8 model that, with the int8-vs-bf16 hiding
+    comparison done against the int8 kernel's own higher compute rate). The
+    on-hardware int8 ring compute rate is unmeasured (no multi-chip slice
+    here), so flash_int8_flops_per_s extrapolates the single-chip kernel
+    measurement.
 
       - allgather: each device receives (n_dev-1)/n_dev of the full K+V once
         per layer; XLA can overlap the gather with the previous layer's
@@ -225,6 +228,14 @@ def sharded_attention_roofline(
             "ring_step_comm_ms": round(ring_step_comm * 1e3, 3),
             "ring_step_attn_ms": round(ring_step_attn * 1e3, 3),
             "ring_comm_hidden": ring_step_comm <= ring_step_attn,
+            # int8 serving mode: KV rotates as int8 (half the bytes) while
+            # the per-step attention runs at the int8 kernel rate — the
+            # hiding question must compare int8 comm against int8 compute
+            "ring_step_comm_int8_ms": round(ring_step_comm / 2 * 1e3, 3),
+            "ring_comm_hidden_int8": (
+                ring_step_comm / 2
+                <= 4 * nl * nl * HD / flash_int8_flops_per_s
+            ),
             "hbm_ring_ok": fits_hbm_ring(nl),
         }
     return out
