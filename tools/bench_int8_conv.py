@@ -16,9 +16,13 @@ output (never fetch a big array through the tunnel — ~5 s per 512 MB).
 Run: python tools/bench_int8_conv.py   (needs the TPU; nothing else running)
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _time(fn, *args, reps=3):
@@ -62,38 +66,56 @@ def main():
         wi = jax.random.randint(key, (3, 3, cin, cout), -127, 128, jnp.int8)
         flops = 2 * np.prod(xshape) * 9 * cout
 
+        # 8 convs per jit (distinct rolled inputs so XLA cannot CSE them):
+        # a single dispatched conv through the tunnel has a ~10 ms floor
+        # that buries the dtype signal (like the single-matmul "67 TFLOP
+        # peak" artifact — CLAUDE.md); amortise it like bench_int8_mxu.
+        CHAIN = 8
+        flops *= CHAIN
+
         @jax.jit
         def conv_bf16(x, w):
-            y = lax.conv_general_dilated(
-                x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dimnums
-            )
-            return jnp.sum(y.astype(jnp.float32))
+            acc = jnp.float32(0)
+            for i in range(CHAIN):
+                y = lax.conv_general_dilated(
+                    jnp.roll(x, i, axis=1), w, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=dimnums,
+                )
+                acc += jnp.sum(y.astype(jnp.float32))
+            return acc
 
         @jax.jit
         def conv_int8(xi, wi):
-            y = lax.conv_general_dilated(
-                xi, wi, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=dimnums,
-                preferred_element_type=jnp.int32,
-            )
-            return jnp.sum(y)
+            acc = jnp.int32(0)
+            for i in range(CHAIN):
+                y = lax.conv_general_dilated(
+                    jnp.roll(xi, i, axis=1), wi, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=dimnums,
+                    preferred_element_type=jnp.int32,
+                )
+                acc += jnp.sum(y)
+            return acc
 
         @jax.jit
         def conv_w8a8(x, wi):
             # dynamic per-image activation quant + per-channel weight dequant
-            s_x = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True).astype(
-                jnp.float32
-            ) / 127.0
-            xq = jnp.clip(
-                jnp.round(x.astype(jnp.float32) / s_x), -127, 127
-            ).astype(jnp.int8)
-            y = lax.conv_general_dilated(
-                xq, wi, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=dimnums,
-                preferred_element_type=jnp.int32,
-            )
+            acc = jnp.float32(0)
             s_w = jnp.full((cout,), 0.01, jnp.float32)
-            return jnp.sum(y.astype(jnp.float32) * s_x * s_w)
+            for i in range(CHAIN):
+                xr = jnp.roll(x, i, axis=1)
+                s_x = jnp.max(
+                    jnp.abs(xr), axis=(1, 2, 3), keepdims=True
+                ).astype(jnp.float32) / 127.0
+                xq = jnp.clip(
+                    jnp.round(xr.astype(jnp.float32) / s_x), -127, 127
+                ).astype(jnp.int8)
+                y = lax.conv_general_dilated(
+                    xq, wi, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=dimnums,
+                    preferred_element_type=jnp.int32,
+                )
+                acc += jnp.sum(y.astype(jnp.float32) * s_x * s_w)
+            return acc
 
         try:
             t8 = _time(conv_int8, xi, wi)
