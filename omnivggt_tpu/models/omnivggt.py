@@ -303,6 +303,7 @@ def certify_fast_modes(
     probe_s: int = 2,
     pose_tol: float = 2e-2,
     rel_tol: float = 2e-2,
+    final_hw: int = 448,
 ) -> OmniVGGTConfig:
     """Certify-then-default the fast serving modes, most aggressive first:
 
@@ -317,20 +318,52 @@ def certify_fast_modes(
       4. bf16 dense heads                        (15.31 views/s)
       5. fp32 heads + exact erf GELU             (reference parity, fallback)
 
-    Each candidate's probe outputs are gated against the reference-parity
-    forward (same gates as certify_head_dtype); the first to pass wins.
-    Independently, the winner is probed once more with attn_quant="int8"
-    (int8-qk flash score matmuls, ~1e-4 deltas on qk-normed inputs) and
-    keeps the upgrade when the gates still pass. Runs only when the caller
-    has not already chosen a fast mode.
+    Two-stage gating, both against the reference-parity forward:
+
+      - **Ladder stage** at `probe_hw` (default 140 px — cheap compiles):
+        candidates are walked most-aggressive-first; the first to pass is
+        the provisional winner.
+      - **Final stage** at `final_hw` (default 448 px — the serving-
+        representative probe): the provisional winner is re-gated at a
+        resolution where the DPT upsample magnitudes match serving and
+        every attention family (frame / global / DINOv2) crosses its flash
+        dispatch threshold (ops/attention._FLASH_MIN_SEQ = 1024 tokens:
+        140 px gives 105 tokens/frame, 448 px gives 1029). A winner that
+        passes at 140 but fails at 448 steps DOWN the ladder, re-gated at
+        448, until a rung passes (else the parity fallback). When the two
+        probe resolutions coincide (tiny test configs) the stage is skipped
+        — the ladder gate already ran at that resolution.
+
+    Independently, the final winner is probed once more with
+    attn_quant="int8" (int8-qk flash score matmuls, ~1e-4 deltas on
+    qk-normed inputs) at `final_hw` and keeps the upgrade when the gates
+    still pass AGAINST THE REFERENCE-PARITY forward — gating against the
+    winning rung instead would let the served config drift up to 2x the
+    advertised tolerance from parity (rung-vs-ref + attn-vs-rung
+    compounding). Runs only when the caller has not already chosen a fast
+    mode.
+
+    Production loaders (from_safetensors / from_pretrained with
+    head_dtype="auto") persist the verdict next to the checkpoint keyed by
+    a content fingerprint (omnivggt_tpu.certification), so these probe
+    compiles are paid once per checkpoint, not once per process.
     """
     import dataclasses
+    import logging
+
+    log = logging.getLogger(__name__)
 
     if (cfg.head_dtype != "float32" or cfg.approx_gelu
             or cfg.trunk_quant != "none" or cfg.attn_quant != "none"):
         return cfg  # caller already chose; nothing to certify
 
-    ref = _probe_outputs(params, cfg, probe_hw, probe_s)
+    def snap(hw):
+        hw = min(hw, cfg.img_size)
+        return hw - hw % cfg.patch_size
+
+    ladder_hw = snap(probe_hw if probe_hw is not None else 140)
+    fin_hw = snap(final_hw)
+
     candidates = [
         dataclasses.replace(
             cfg, head_dtype="bfloat16", approx_gelu=True, trunk_quant="int8"
@@ -341,56 +374,91 @@ def certify_fast_modes(
         dataclasses.replace(cfg, head_dtype="bfloat16", approx_gelu=True),
         dataclasses.replace(cfg, head_dtype="bfloat16"),
     ]
-    best = cfg
-    for cand in candidates:
+
+    def gate(ref, cand, hw, stage):
         failed = _probe_failures(
-            ref, _probe_outputs(params, cand, probe_hw, probe_s),
-            pose_tol, rel_tol,
+            ref, _probe_outputs(params, cand, hw, probe_s), pose_tol, rel_tol
         )
-        if not failed:
-            best = cand
+        if failed:
+            log.warning(
+                "fast-mode certification failed at %dpx (%s) for "
+                "head_dtype=%s approx_gelu=%s trunk_quant=%s (%s); "
+                "trying the next fallback",
+                hw, stage, cand.head_dtype, cand.approx_gelu,
+                cand.trunk_quant,
+                ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
+            )
+        return not failed
+
+    ref = _probe_outputs(params, cfg, ladder_hw, probe_s)
+    best, best_idx = cfg, len(candidates)
+    for i, cand in enumerate(candidates):
+        if gate(ref, cand, ladder_hw, "ladder"):
+            best, best_idx = cand, i
             break
-        import logging
 
-        logging.getLogger(__name__).warning(
-            "fast-mode certification failed for head_dtype=%s approx_gelu=%s "
-            "trunk_quant=%s (%s); trying the next fallback",
-            cand.head_dtype, cand.approx_gelu, cand.trunk_quant,
-            ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
-        )
+    if fin_hw == ladder_hw:
+        ref_f = ref  # same resolution: the ladder gate IS the final gate
+    else:
+        ref_f = _probe_outputs(params, cfg, fin_hw, probe_s)
+        if best is not cfg:
+            # re-gate the provisional winner (then lower rungs) at the
+            # serving-representative resolution
+            final_best = cfg
+            for cand in candidates[best_idx:]:
+                if gate(ref_f, cand, fin_hw, "final"):
+                    final_best = cand
+                    break
+            best = final_best
 
-    # attn_quant upgrade probe: orthogonal to the trunk ladder; its error is
-    # an order of magnitude below the other fast modes, so it is attempted
-    # on whatever won above (including the parity fallback) and kept only
-    # when the gates pass AGAINST THE REFERENCE-PARITY forward — gating
-    # against the winning rung instead would let the served config drift up
-    # to 2x the advertised tolerance from parity (rung-vs-ref + attn-vs-
-    # rung compounding). The probe MUST also run at a per-frame token count
-    # where the flash kernel dispatches for EVERY attention family
-    # (ops/attention._FLASH_MIN_SEQ = 1024 tokens): the 140 px ladder probe
-    # leaves frame and DINOv2 attention on XLA (105 tokens/frame) where
-    # qk_int8 is inert, so it gates only global attention — 448 px gives
-    # 1029 tokens/frame and exercises frame, DINO, AND global int8 paths at
-    # the serving dispatch thresholds. (Tiny test configs stay below the
-    # threshold at any size; there the serving attention is xla anyway, so
-    # the trivially-certified flag is genuinely inert.)
-    attn_hw = min(448, cfg.img_size)
-    attn_hw -= attn_hw % cfg.patch_size
     upgraded = dataclasses.replace(best, attn_quant="int8")
-    ref_a = _probe_outputs(params, cfg, attn_hw, probe_s)
     failed = _probe_failures(
-        ref_a, _probe_outputs(params, upgraded, attn_hw, probe_s),
+        ref_f, _probe_outputs(params, upgraded, fin_hw, probe_s),
         pose_tol, rel_tol,
     )
     if not failed:
         return upgraded
-    import logging
-
-    logging.getLogger(__name__).warning(
+    log.warning(
         "attn_quant=int8 certification failed (%s); keeping attn_quant=none",
         ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
     )
     return best
+
+
+def certification_gates(
+    probe_hw: Optional[int] = None,
+    probe_s: int = 2,
+    pose_tol: float = 2e-2,
+    rel_tol: float = 2e-2,
+    final_hw: int = 448,
+) -> dict:
+    """The exact gate parameters certify_fast_modes runs with, as the dict
+    persisted into (and matched against) a checkpoint certificate."""
+    return {
+        "probe_hw": probe_hw, "probe_s": probe_s, "pose_tol": pose_tol,
+        "rel_tol": rel_tol, "final_hw": final_hw,
+    }
+
+
+def _certify_cached(params, cfg: OmniVGGTConfig, ckpt_path: str,
+                    **gate_kwargs) -> OmniVGGTConfig:
+    """certify_fast_modes with the verdict persisted next to the checkpoint
+    (omnivggt_tpu.certification): a valid cached certificate (matching
+    content fingerprint + gates + base modes) skips every probe compile."""
+    from omnivggt_tpu.certification import (
+        checkpoint_fingerprint, load_certificate, save_certificate,
+    )
+
+    gates = certification_gates(**gate_kwargs)
+    fp = checkpoint_fingerprint(ckpt_path)
+    cached = load_certificate(ckpt_path, cfg, gates, fingerprint=fp)
+    if cached is not None:
+        # the ladder only ever SETS fast modes; bounded_attn_logits was
+        # already re-verified live by the caller on this load
+        return cached
+    certified = certify_fast_modes(params, cfg, **gate_kwargs)
+    save_certificate(ckpt_path, cfg, certified, gates, fingerprint=fp)
+    return certified
 
 
 def _certify_bounded_logits(config: OmniVGGTConfig, params) -> OmniVGGTConfig:
@@ -439,7 +507,11 @@ class OmniVGGT:
         ladder on load — W8A8 int8 trunk, int8_ln, bf16 heads + tanh GELU,
         bf16 heads — and defaults the most aggressive mode whose probe
         outputs match the fp32 reference-parity forward within tolerance
-        (plus the int8-qk attention upgrade probe). "float32"/"bfloat16"
+        (plus the int8-qk attention upgrade probe), with the winner re-gated
+        at the 448 px serving-representative probe. The verdict is persisted
+        next to the checkpoint (<path>.certified.json, keyed by a content
+        fingerprint), so later loads of the same file certify in seconds
+        instead of re-compiling the probe forwards. "float32"/"bfloat16"
         force that head dtype and skip the ladder.
         """
         import dataclasses
@@ -452,7 +524,7 @@ class OmniVGGT:
         params = load_safetensors_params(path, config)
         config = _certify_bounded_logits(config, params)
         if head_dtype == "auto":
-            config = certify_fast_modes(params, config)
+            config = _certify_cached(params, config, path)
         return cls(config, params)
 
     def save_pretrained(self, directory: str) -> str:
@@ -545,7 +617,7 @@ class OmniVGGT:
                 cfg, head_dtype="float32", approx_gelu=False,
                 trunk_quant="none", attn_quant="none",
             )
-            cfg = certify_fast_modes(params, cfg)
+            cfg = _certify_cached(params, cfg, directory)
         return cls(cfg, params)
 
     @classmethod

@@ -311,3 +311,123 @@ def test_int8_head_convs_close_to_fp32():
         )
     with pytest.raises(ValueError, match="head_quant"):
         dataclasses.replace(cfg, head_quant="int4")
+
+
+def test_certificate_roundtrip_and_invalidation(tmp_path, monkeypatch):
+    """from_pretrained(head_dtype='auto') persists the fast-mode verdict
+    next to the checkpoint; a second load restores it WITHOUT running any
+    probe forwards, and touching the checkpoint contents invalidates it."""
+    import os
+
+    from omnivggt_tpu import certification as C
+    from omnivggt_tpu.models import omnivggt as M
+
+    model = OmniVGGT(tiny_test_config(), seed=0)
+    ckpt = str(tmp_path / "ckpt")
+    model.save_pretrained(ckpt)
+
+    first = OmniVGGT.from_pretrained(ckpt, head_dtype="auto")
+    cert_path = C.certificate_path(ckpt)
+    assert os.path.exists(cert_path)
+    assert first.config.head_dtype == "bfloat16"  # ladder ran and won a rung
+
+    # second load: the cached verdict must satisfy the ladder — no probes
+    real_probe = M._probe_outputs
+
+    def boom(*a, **k):
+        raise AssertionError("probe forward ran despite a valid certificate")
+
+    monkeypatch.setattr(M, "_probe_outputs", boom)
+    second = OmniVGGT.from_pretrained(ckpt, head_dtype="auto")
+    assert second.config == first.config
+
+    # changing the checkpoint contents (new file in the manifest) must
+    # invalidate the certificate and re-run the ladder
+    with open(os.path.join(ckpt, "extra.txt"), "w") as f:
+        f.write("drift")
+    calls = []
+
+    def counting_probe(*a, **k):
+        calls.append(1)
+        return real_probe(*a, **k)
+
+    monkeypatch.setattr(M, "_probe_outputs", counting_probe)
+    third = OmniVGGT.from_pretrained(ckpt, head_dtype="auto")
+    assert calls, "ladder did not re-run after checkpoint contents changed"
+    assert third.config == first.config
+
+
+def test_certificate_module_file_semantics(tmp_path):
+    """certification.load_certificate honours fingerprint, gates, and base-
+    mode identity for plain checkpoint files."""
+    import dataclasses
+
+    from omnivggt_tpu import certification as C
+    from omnivggt_tpu.models.omnivggt import certification_gates
+
+    ckpt = str(tmp_path / "weights.safetensors")
+    with open(ckpt, "wb") as f:
+        f.write(b"\x00" * 4096)
+
+    cfg = tiny_test_config()
+    certified = dataclasses.replace(
+        cfg, head_dtype="bfloat16", approx_gelu=True, trunk_quant="int8",
+        attn_quant="int8",
+    )
+    gates = certification_gates()
+    assert C.save_certificate(ckpt, cfg, certified, gates) is not None
+
+    got = C.load_certificate(ckpt, cfg, gates)
+    assert got == certified
+
+    # different gates -> no verdict
+    assert C.load_certificate(ckpt, cfg, certification_gates(pose_tol=1e-3)) is None
+    # different base modes (caller forcing fp32 heads must not inherit)
+    forced = dataclasses.replace(cfg, trunk_quant="int8")
+    assert C.load_certificate(ckpt, forced, gates) is None
+    # content drift -> no verdict
+    with open(ckpt, "ab") as f:
+        f.write(b"\x01")
+    assert C.load_certificate(ckpt, cfg, gates) is None
+    # corrupt certificate file -> None, not a crash
+    with open(C.certificate_path(ckpt), "w") as f:
+        f.write("{not json")
+    assert C.load_certificate(ckpt, cfg, gates) is None
+
+
+def test_certify_final_gate_steps_down(monkeypatch):
+    """A rung that passes the cheap ladder probe but fails at the serving-
+    representative final resolution steps down the ladder, with the lower
+    rungs re-gated at the final resolution (VERDICT r3 item 3)."""
+    from omnivggt_tpu.models import omnivggt as M
+
+    cfg = tiny_test_config(img_size=56)
+    base = {
+        "pose_enc": np.zeros((1, 2, 9), np.float32),
+        "depth": np.ones((1, 2, 4, 4, 1), np.float32),
+        "world_points": np.ones((1, 2, 4, 4, 3), np.float32),
+        "depth_conf": np.ones((1, 2, 4, 4), np.float32),
+    }
+    probes = []
+
+    def fake_probe(params, c, hw, s):
+        probes.append((c.trunk_quant, c.approx_gelu, c.attn_quant, hw))
+        out = {k: v.copy() for k, v in base.items()}
+        # int8 looks fine at the small ladder probe but breaks at the
+        # final resolution; int8_ln is always broken; tanh rung is clean
+        if c.trunk_quant == "int8" and hw > 28:
+            out["pose_enc"] = out["pose_enc"] + 1.0
+        if c.trunk_quant == "int8_ln":
+            out["pose_enc"] = out["pose_enc"] + 1.0
+        return out
+
+    monkeypatch.setattr(M, "_probe_outputs", fake_probe)
+    best = M.certify_fast_modes(None, cfg, probe_hw=28, final_hw=56)
+    # int8 won the ladder at 28 px, failed the 56 px final gate; int8_ln
+    # failed too; the tanh rung passed at 56 px and took the attn upgrade
+    assert best.trunk_quant == "none"
+    assert best.approx_gelu and best.head_dtype == "bfloat16"
+    assert best.attn_quant == "int8"
+    # the final stage re-gated at 56 px (not a repeat of the 28 px gate)
+    assert ("int8", True, "none", 56) in probes
+    assert ("none", True, "int8", 56) in probes

@@ -66,10 +66,13 @@ def main():
         wi = jax.random.randint(key, (3, 3, cin, cout), -127, 128, jnp.int8)
         flops = 2 * np.prod(xshape) * 9 * cout
 
-        # 8 convs per jit (distinct rolled inputs so XLA cannot CSE them):
-        # a single dispatched conv through the tunnel has a ~10 ms floor
-        # that buries the dtype signal (like the single-matmul "67 TFLOP
-        # peak" artifact — CLAUDE.md); amortise it like bench_int8_mxu.
+        # 8 convs per jit (distinct rolled WEIGHTS so XLA cannot CSE them —
+        # rolling the activation would put a memory-bound full-tensor pass
+        # in the timed chain, 2x more bytes for bf16 than int8, inflating
+        # the apparent int8 speedup; the (3,3,cin,cout) weight roll is
+        # negligible): a single dispatched conv through the tunnel has a
+        # ~10 ms floor that buries the dtype signal (like the single-matmul
+        # "67 TFLOP peak" artifact — CLAUDE.md); amortise like bench_int8_mxu.
         CHAIN = 8
         flops *= CHAIN
 
@@ -78,7 +81,7 @@ def main():
             acc = jnp.float32(0)
             for i in range(CHAIN):
                 y = lax.conv_general_dilated(
-                    jnp.roll(x, i, axis=1), w, (1, 1), ((1, 1), (1, 1)),
+                    x, jnp.roll(w, i, axis=3), (1, 1), ((1, 1), (1, 1)),
                     dimension_numbers=dimnums,
                 )
                 acc += jnp.sum(y.astype(jnp.float32))
@@ -89,7 +92,7 @@ def main():
             acc = jnp.int32(0)
             for i in range(CHAIN):
                 y = lax.conv_general_dilated(
-                    jnp.roll(xi, i, axis=1), wi, (1, 1), ((1, 1), (1, 1)),
+                    xi, jnp.roll(wi, i, axis=3), (1, 1), ((1, 1), (1, 1)),
                     dimension_numbers=dimnums,
                     preferred_element_type=jnp.int32,
                 )
@@ -98,11 +101,15 @@ def main():
 
         @jax.jit
         def conv_w8a8(x, wi):
-            # dynamic per-image activation quant + per-channel weight dequant
+            # dynamic per-image activation quant + per-channel weight
+            # dequant; the act quant runs once per conv (as qconv2d_int8
+            # does) but over the SAME x — distinct rolled weights still
+            # defeat conv CSE, and XLA CSEs the repeated quant of x, so add
+            # a cheap per-iter bias to x to keep each quant pass live
             acc = jnp.float32(0)
             s_w = jnp.full((cout,), 0.01, jnp.float32)
             for i in range(CHAIN):
-                xr = jnp.roll(x, i, axis=1)
+                xr = x + jnp.bfloat16(i * 1e-6)
                 s_x = jnp.max(
                     jnp.abs(xr), axis=(1, 2, 3), keepdims=True
                 ).astype(jnp.float32) / 127.0
@@ -110,7 +117,7 @@ def main():
                     jnp.round(xr.astype(jnp.float32) / s_x), -127, 127
                 ).astype(jnp.int8)
                 y = lax.conv_general_dilated(
-                    xq, wi, (1, 1), ((1, 1), (1, 1)),
+                    xq, jnp.roll(wi, i, axis=3), (1, 1), ((1, 1), (1, 1)),
                     dimension_numbers=dimnums,
                     preferred_element_type=jnp.int32,
                 )
