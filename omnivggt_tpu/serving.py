@@ -41,6 +41,103 @@ import numpy as np
 DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
+class InferenceTimeout(TimeoutError):
+    """An inference dispatch exceeded its deadline. On this host the TPU
+    tunnel is documented to go UNAVAILABLE for stretches (CLAUDE.md) — a
+    wedged backend must surface as an error to the caller, never as an
+    indefinitely blocked thread."""
+
+
+def _call_with_deadline(fn, timeout_s: Optional[float], **kwargs):
+    """Run fn(**kwargs) with a wall-clock deadline. The underlying device
+    dispatch cannot be cancelled (a wedged jax call blocks its thread until
+    the tunnel recovers), so the work runs on a daemon thread and the caller
+    is released with InferenceTimeout when the deadline passes."""
+    if timeout_s is None:
+        return fn(**kwargs)
+    box: dict = {}
+    done = threading.Event()
+
+    def run():
+        try:
+            box["result"] = fn(**kwargs)
+        except Exception as e:  # noqa: BLE001 — re-raised in the caller
+            box["error"] = e
+        done.set()
+
+    threading.Thread(target=run, daemon=True).start()
+    if not done.wait(timeout_s):
+        raise InferenceTimeout(
+            f"inference exceeded the {timeout_s:.1f}s deadline "
+            "(device backend wedged or queue saturated)"
+        )
+    if "error" in box:
+        raise box["error"]
+    return box["result"]
+
+
+class BackendProbe:
+    """Cached device-liveness probe: a tiny reduction fetched to host (the
+    CLAUDE.md recipe for detecting a wedged axon tunnel), run on a daemon
+    thread with a deadline so /healthz itself never hangs.
+
+    status() returns {"backend": "ok" | "wedged" | "unknown", "age_s": t}.
+    "unknown" = no probe has completed yet and the in-flight one is still
+    within its deadline. One probe is in flight at a time; a wedged probe
+    thread is abandoned (daemon) and a fresh one is attempted once the
+    cached verdict goes stale."""
+
+    def __init__(self, interval_s: float = 15.0, timeout_s: float = 5.0):
+        self.interval = interval_s
+        self.timeout = timeout_s
+        self._lock = threading.Lock()
+        self._verdict: Optional[str] = None
+        self._verdict_t = 0.0
+        self._inflight_t: Optional[float] = None
+
+    @staticmethod
+    def _probe_once() -> bool:
+        import jax.numpy as jnp
+
+        return bool(np.asarray(jnp.sum(jnp.ones((8, 8)))) == 64.0)
+
+    def _launch(self):
+        self._inflight_t = time.monotonic()
+
+        def run():
+            try:
+                ok = self._probe_once()
+            except Exception:  # noqa: BLE001 — a raising backend is down
+                ok = False
+            with self._lock:
+                self._verdict = "ok" if ok else "wedged"
+                self._verdict_t = time.monotonic()
+                self._inflight_t = None
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def status(self) -> dict:
+        with self._lock:
+            now = time.monotonic()
+            fresh = self._verdict is not None and (
+                now - self._verdict_t < self.interval
+            )
+            if not fresh and self._inflight_t is None:
+                self._launch()
+            # an in-flight probe past its deadline IS the wedged signal
+            if (
+                self._inflight_t is not None
+                and now - self._inflight_t > self.timeout
+            ):
+                return {"backend": "wedged", "age_s": 0.0}
+            if self._verdict is None:
+                return {"backend": "unknown", "age_s": None}
+            return {
+                "backend": self._verdict,
+                "age_s": round(now - self._verdict_t, 3),
+            }
+
+
 class InferenceSession:
     """Thread-safe scene-inference session with frame-count bucketing."""
 
@@ -312,7 +409,13 @@ class Batcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, **request) -> Dict[str, np.ndarray]:
+    def submit(self, timeout: Optional[float] = None,
+               **request) -> Dict[str, np.ndarray]:
+        """Block until this scene's result is ready, or `timeout` seconds
+        elapse — a wedged device dispatch (the axon tunnel is documented to
+        hang, CLAUDE.md) must deliver InferenceTimeout, not block the caller
+        forever. A request still queued at the deadline is withdrawn; one
+        already dispatched is abandoned (its result is dropped)."""
         prepared = self.session._prepare(**request)
         entry = {
             "req": prepared,
@@ -324,7 +427,20 @@ class Batcher:
         with self._cv:
             self._pending.setdefault(prepared["key"], []).append(entry)
             self._cv.notify()
-        entry["event"].wait()
+        if not entry["event"].wait(timeout):
+            with self._cv:
+                pend = self._pending.get(prepared["key"])
+                if pend is not None and entry in pend:
+                    pend.remove(entry)  # never dispatched: withdraw
+                    if not pend:
+                        del self._pending[prepared["key"]]
+            # the dispatch may have completed between the wait timing out
+            # and the lock being taken — deliver the result if so
+            if not entry["event"].is_set():
+                raise InferenceTimeout(
+                    f"batched inference exceeded the {timeout:.1f}s deadline "
+                    "(device backend wedged or queue saturated)"
+                )
         if entry["error"] is not None:
             raise entry["error"]
         return entry["result"]
@@ -407,21 +523,26 @@ def _glb_from_preds(preds: Dict[str, np.ndarray], H: int, W: int,
 
 def serve(session: InferenceSession, port: int = 8000, background: bool = False,
           token: Optional[str] = None, batch_window_ms: float = 0.0,
-          max_batch: int = 8):
+          max_batch: int = 8, request_timeout_s: Optional[float] = None,
+          probe: Optional[BackendProbe] = None):
     """POST /infer (npz body) -> npz predictions; POST /infer_glb -> binary
-    GLB; GET /healthz -> JSON. `token` enables bearer auth;
-    `batch_window_ms` > 0 coalesces concurrent compatible requests into
-    batched forwards (see Batcher)."""
+    GLB; GET /healthz -> JSON incl. a deadline-bounded device-liveness
+    verdict. `token` enables bearer auth; `batch_window_ms` > 0 coalesces
+    concurrent compatible requests into batched forwards (see Batcher);
+    `request_timeout_s` bounds every inference dispatch — a wedged backend
+    returns 503 instead of hanging the connection (first-compile requests
+    need a timeout well above this host's minutes-long TPU compile)."""
     batcher = (
         Batcher(session, max_batch=max_batch, window_ms=batch_window_ms)
         if batch_window_ms > 0
         else None
     )
+    probe = probe if probe is not None else BackendProbe()
 
     def run_infer(**kwargs):
         if batcher is not None:
-            return batcher.submit(**kwargs)
-        return session.infer(**kwargs)
+            return batcher.submit(timeout=request_timeout_s, **kwargs)
+        return _call_with_deadline(session.infer, request_timeout_s, **kwargs)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, body, ctype, extra=None):
@@ -451,12 +572,18 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
             if self.path.rstrip("/") == "/healthz" or self.path == "/":
                 with session._lock:  # _execute inserts concurrently
                     compiled = [str(k) for k in session._jitted]
+                liveness = probe.status()
                 body = json.dumps(
-                    {"status": "ok", "buckets": session.buckets,
+                    {"status": "ok" if liveness["backend"] != "wedged"
+                     else "degraded",
+                     "buckets": session.buckets,
                      "batching": batcher is not None,
-                     "compiled": compiled}
+                     "request_timeout_s": request_timeout_s,
+                     "compiled": compiled,
+                     **liveness}
                 ).encode()
-                self._send(200, body, "application/json")
+                code = 200 if liveness["backend"] != "wedged" else 503
+                self._send(code, body, "application/json")
             else:
                 self._send(404, b"{}", "application/json")
 
@@ -503,7 +630,8 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
                     )
             except Exception as e:  # noqa: BLE001 — report to the client
                 body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
-                self._send(400, body, "application/json")
+                code = 503 if isinstance(e, InferenceTimeout) else 400
+                self._send(code, body, "application/json")
 
         def log_message(self, *a):
             pass
