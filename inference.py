@@ -188,6 +188,8 @@ def main():
             init_conf_threshold=args.conf_threshold,
             background_mode=args.background_mode,
             use_point_map=args.use_point_map,
+            mask_black_bg=args.mask_black_bg,
+            mask_white_bg=args.mask_white_bg,
         )
 
 

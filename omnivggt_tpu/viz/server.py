@@ -37,6 +37,8 @@ _PAGE = """<!DOCTYPE html>
  <label>point size <input id="psize" type="range" min="1" max="8" value="2"></label>
  <label>frame <select id="frame"><option value="-1">all</option></select></label>
  <label><input id="cams" type="checkbox" checked> show cameras</label>
+ <label><input id="mblack" type="checkbox"MB0> mask black bg</label>
+ <label><input id="mwhite" type="checkbox"MW0> mask white bg</label>
  <span id="stats"></span>
 </div>
 <canvas id="c"></canvas>
@@ -47,11 +49,18 @@ let N=0,S=0,pos,col,conf,fid,camsegs=null,confSorted,campose=null,sceneR=1,tween
 const st={rx:-0.5,ry:0.5,dist:3,cx:0,cy:0,cz:0,px:0,py:0};
 function resize(){canvas.width=innerWidth;canvas.height=innerHeight;gl.viewport(0,0,canvas.width,canvas.height);}
 addEventListener('resize',resize);resize();
+// background filters match the reference masks (inference.py:135-142):
+// black bg drops color sums < 16/255, white bg drops all-channels > 240/255;
+// the conf>0.1 floor mirrors the reference's init_conf_mask (:133)
 const vs=`attribute vec3 p;attribute vec3 c;attribute float cf;attribute float fi;
 uniform mat4 mvp;uniform float thr;uniform float psz;uniform float frame;
+uniform float ub;uniform float uw;
 varying vec3 vc;varying float vis;
 void main(){gl_Position=mvp*vec4(p,1.0);gl_PointSize=psz;vc=c;
- vis=(cf>=thr&&(frame<0.0||abs(fi-frame)<0.5))?1.0:0.0;
+ float lum=(c.r+c.g+c.b)*255.0;
+ bool white=c.r*255.0>240.0&&c.g*255.0>240.0&&c.b*255.0>240.0;
+ vis=(cf>=thr&&cf>0.1&&(frame<0.0||abs(fi-frame)<0.5)
+      &&(ub<0.5||lum>=16.0)&&(uw<0.5||!white))?1.0:0.0;
  if(vis<0.5)gl_Position=vec4(2e9,2e9,2e9,1.0);}`;
 const fs=`precision mediump float;varying vec3 vc;void main(){gl_FragColor=vec4(vc,1.0);}`;
 const lvs=`attribute vec3 p;attribute vec3 c;uniform mat4 mvp;varying vec3 vc;
@@ -60,8 +69,14 @@ function sh(t,s){const h=gl.createShader(t);gl.shaderSource(h,s);gl.compileShade
  if(!gl.getShaderParameter(h,gl.COMPILE_STATUS))console.error(gl.getShaderInfoLog(h));return h;}
 function prog(v,f){const p=gl.createProgram();gl.attachShader(p,sh(gl.VERTEX_SHADER,v));
  gl.attachShader(p,sh(gl.FRAGMENT_SHADER,f));gl.linkProgram(p);return p;}
-const P=prog(vs,fs),LP=prog(lvs,fs);
-let bufs={},lineBufs=null,nLines=0;
+// textured camera frusta (reference: add_camera_frustum(..., image=img),
+// inference.py:196-209): one atlas texture, two triangles per camera
+const tvs=`attribute vec3 p;attribute vec2 t;uniform mat4 mvp;varying vec2 vt;
+void main(){gl_Position=mvp*vec4(p,1.0);vt=t;}`;
+const tfs=`precision mediump float;varying vec2 vt;uniform sampler2D tex;
+void main(){gl_FragColor=vec4(texture2D(tex,vt).rgb,1.0);}`;
+const P=prog(vs,fs),LP=prog(lvs,fs),TP=prog(tvs,tfs);
+let bufs={},lineBufs=null,nLines=0,quadBufs=null,nQuadVerts=0,frustumTex=null;
 function mul(a,b){const o=new Array(16).fill(0);
  for(let i=0;i<4;i++)for(let j=0;j<4;j++)for(let k=0;k<4;k++)o[j*4+i]+=a[k*4+i]*b[j*4+k];return o;}
 function mvp(){
@@ -133,6 +148,8 @@ function draw(){
   gl.uniform1f(gl.getUniformLocation(P,'thr'),thr);
   gl.uniform1f(gl.getUniformLocation(P,'psz'),+document.getElementById('psize').value);
   gl.uniform1f(gl.getUniformLocation(P,'frame'),+document.getElementById('frame').value);
+  gl.uniform1f(gl.getUniformLocation(P,'ub'),document.getElementById('mblack').checked?1.0:0.0);
+  gl.uniform1f(gl.getUniformLocation(P,'uw'),document.getElementById('mwhite').checked?1.0:0.0);
   const bind=(name,buf,size,type,norm)=>{const l=gl.getAttribLocation(P,name);
    gl.bindBuffer(gl.ARRAY_BUFFER,buf);gl.enableVertexAttribArray(l);
    gl.vertexAttribPointer(l,size,type,norm,0,0);};
@@ -147,6 +164,16 @@ function draw(){
    const lc=gl.getAttribLocation(LP,'c');gl.bindBuffer(gl.ARRAY_BUFFER,lineBufs.c);
    gl.enableVertexAttribArray(lc);gl.vertexAttribPointer(lc,3,gl.UNSIGNED_BYTE,true,0,0);
    gl.drawArrays(gl.LINES,0,nLines);}
+  if(quadBufs&&frustumTex&&document.getElementById('cams').checked){
+   gl.useProgram(TP);
+   gl.uniformMatrix4fv(gl.getUniformLocation(TP,'mvp'),false,new Float32Array(m));
+   gl.activeTexture(gl.TEXTURE0);gl.bindTexture(gl.TEXTURE_2D,frustumTex);
+   gl.uniform1i(gl.getUniformLocation(TP,'tex'),0);
+   const qp=gl.getAttribLocation(TP,'p');gl.bindBuffer(gl.ARRAY_BUFFER,quadBufs.p);
+   gl.enableVertexAttribArray(qp);gl.vertexAttribPointer(qp,3,gl.FLOAT,false,0,0);
+   const qt=gl.getAttribLocation(TP,'t');gl.bindBuffer(gl.ARRAY_BUFFER,quadBufs.t);
+   gl.enableVertexAttribArray(qt);gl.vertexAttribPointer(qt,2,gl.FLOAT,false,0,0);
+   gl.drawArrays(gl.TRIANGLES,0,nQuadVerts);}
  }
  requestAnimationFrame(draw);}
 fetch('data').then(r=>r.arrayBuffer()).then(ab=>{
@@ -159,7 +186,15 @@ fetch('data').then(r=>r.arrayBuffer()).then(ab=>{
  fid=new Float32Array(ab,o,N);o+=N*4;
  const lp=new Float32Array(ab,o,nl*6);o+=nl*24;
  const lc=new Uint8Array(ab,o,nl*6);o+=nl*6;o+=(4-o%4)%4;
- if(o+S*24<=ab.byteLength)campose=new Float32Array(ab,o,S*6);
+ let quads=null,tmeta=null,atlas=null;
+ if(o+S*24<=ab.byteLength){campose=new Float32Array(ab,o,S*6);o+=S*24;}
+ if(o+S*48+16<=ab.byteLength){
+  quads=new Float32Array(ab,o,S*12);o+=S*48;
+  tmeta=[dv.getUint32(o,true),dv.getUint32(o+4,true),
+         dv.getUint32(o+8,true),dv.getUint32(o+12,true)];o+=16;
+  if(tmeta[0]&&tmeta[1]){
+   const aw=tmeta[2]*tmeta[0],ah=tmeta[3]*tmeta[1];
+   atlas=new Uint8Array(ab,o,aw*ah*3);o+=aw*ah*3;}}
  confSorted=Float32Array.from(conf).sort();
  // center/scale
  let mx=0,my=0,mz=0;for(let i=0;i<N;i++){mx+=pos[3*i];my+=pos[3*i+1];mz+=pos[3*i+2];}
@@ -172,6 +207,27 @@ fetch('data').then(r=>r.arrayBuffer()).then(ab=>{
  const mk=(d)=>{const b=gl.createBuffer();gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.bufferData(gl.ARRAY_BUFFER,d,gl.STATIC_DRAW);return b;};
  bufs={p:mk(pos),c:mk(col),cf:mk(conf),fi:mk(fid)};
  if(nl){lineBufs={p:mk(lp),c:mk(lc)};nLines=nl*2;}
+ if(quads&&atlas){
+  const[tw,th,tc]=tmeta,aw=tc*tw,ah=tmeta[3]*th;
+  frustumTex=gl.createTexture();
+  gl.bindTexture(gl.TEXTURE_2D,frustumTex);
+  gl.pixelStorei(gl.UNPACK_ALIGNMENT,1);
+  gl.texImage2D(gl.TEXTURE_2D,0,gl.RGB,aw,ah,0,gl.RGB,gl.UNSIGNED_BYTE,atlas);
+  // NPOT atlas: clamp + linear, no mips (WebGL1 rule)
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_MIN_FILTER,gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_MAG_FILTER,gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_S,gl.CLAMP_TO_EDGE);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_T,gl.CLAMP_TO_EDGE);
+  const qp=new Float32Array(S*18),qt=new Float32Array(S*12),idx=[0,1,2,0,2,3];
+  for(let s=0;s<S;s++){
+   const r=Math.floor(s/tc),c=s%tc;
+   const u0=c*tw/aw,v0=r*th/ah,u1=(c+1)*tw/aw,v1=(r+1)*th/ah;
+   const uv=[[u0,v0],[u1,v0],[u1,v1],[u0,v1]];
+   for(let k=0;k<6;k++){const j=idx[k];
+    qp[s*18+k*3]=quads[s*12+j*3];qp[s*18+k*3+1]=quads[s*12+j*3+1];
+    qp[s*18+k*3+2]=quads[s*12+j*3+2];
+    qt[s*12+k*2]=uv[j][0];qt[s*12+k*2+1]=uv[j][1];}}
+  quadBufs={p:mk(qp),t:mk(qt)};nQuadVerts=S*6;}
  document.getElementById('stats').textContent=N.toLocaleString()+' pts, '+S+' frames';
  draw();});
 </script></body></html>"""
@@ -179,7 +235,7 @@ fetch('data').then(r=>r.arrayBuffer()).then(ab=>{
 
 def build_payload(
     points, colors, conf, frame_ids, n_frames, cam_segments, cam_colors,
-    cam_poses=None,
+    cam_poses=None, cam_quads=None, atlas=None, thumb_shape=None,
 ):
     """Binary payload matching the viewer's /data parser.
 
@@ -187,6 +243,14 @@ def build_payload(
     camera, in the (recentered) world frame — powers the click-frustum-to-
     set-viewpoint interaction (reference: inference.py:201-258's
     attach_callback per-frame handler). Zeros disable picking for a camera.
+
+    cam_quads: optional (n_frames, 4, 3) float32 far-plane corners per
+    camera — the geometry for the image-textured frusta (reference:
+    add_camera_frustum(..., image=img), inference.py:196-209). Zeros draw
+    nothing (degenerate quads).
+
+    atlas / thumb_shape: optional uint8 RGB thumbnail atlas + its
+    (tw, th, cols, rows) grid metadata, produced by thumbnail_atlas().
     """
     n = len(points)
     nl = len(cam_segments)
@@ -203,20 +267,78 @@ def build_payload(
     if cam_poses is None:
         cam_poses = np.zeros((n_frames, 6), np.float32)
     out += np.ascontiguousarray(cam_poses, np.float32).tobytes()  # (S, 6)
+    if cam_quads is None:
+        cam_quads = np.zeros((n_frames, 4, 3), np.float32)
+    out += np.ascontiguousarray(cam_quads, np.float32).tobytes()  # (S, 4, 3)
+    if atlas is None:
+        out += struct.pack("<IIII", 0, 0, 0, 0)
+    else:
+        tw, th, cols, rows = thumb_shape
+        out += struct.pack("<IIII", tw, th, cols, rows)
+        out += np.ascontiguousarray(atlas, np.uint8).tobytes()
     return bytes(out)
 
 
-def camera_wire_segments(extrinsics_w2c: np.ndarray, scene_scale: float):
+def thumbnail_atlas(images: np.ndarray, max_h: int = 64):
+    """Downscale (S, H, W, 3) float [0,1] frames into one uint8 RGB grid
+    atlas for the textured frusta (one WebGL texture for all frames).
+    Returns (atlas, (tw, th, cols, rows))."""
+    S, H, W = images.shape[:3]
+    step = max(1, -(-H // max_h))  # ceil div: thumbnail height <= max_h
+    thumbs = (np.clip(images[:, ::step, ::step], 0.0, 1.0) * 255).astype(
+        np.uint8
+    )
+    th, tw = thumbs.shape[1:3]
+    cols = int(np.ceil(np.sqrt(S)))
+    rows = -(-S // cols)
+    atlas = np.zeros((rows * th, cols * tw, 3), np.uint8)
+    for s in range(S):
+        r, c = divmod(s, cols)
+        atlas[r * th : (r + 1) * th, c * tw : (c + 1) * tw] = thumbs[s]
+    return atlas, (tw, th, cols, rows)
+
+
+def _frustum_corners(scene_scale: float, aspect: float = 1.0) -> np.ndarray:
+    """Far-plane corners of a camera frustum in camera coords (+z forward),
+    matching the reference's frustum proportions: fov = 2*atan2(h/2, 1.1h)
+    (tan(fov/2) = 1/2.2) at aspect w/h (inference.py:203-208)."""
+    d = scene_scale * 0.05
+    hh = d / 2.2
+    hw = hh * aspect
+    return np.array(
+        [[-hw, -hh, d], [hw, -hh, d], [hw, hh, d], [-hw, hh, d]], np.float32
+    )
+
+
+def camera_quads(
+    extrinsics_w2c: np.ndarray, scene_scale: float, aspect: float = 1.0
+) -> np.ndarray:
+    """(S, 4, 3) world-space far-plane corners per camera — the textured
+    frustum geometry. Corner order matches image corners TL, TR, BR, BL in
+    the OpenCV convention (+x right, +y down), i.e. uv (0,0),(1,0),(1,1),
+    (0,1) with v pointing down the image."""
+    corners = _frustum_corners(scene_scale, aspect)
+    n = len(extrinsics_w2c)
+    if n == 0:
+        return np.zeros((0, 4, 3), np.float32)
+    out = np.empty((n, 4, 3), np.float32)
+    for i in range(n):
+        E = np.eye(4)
+        E[:3, :4] = extrinsics_w2c[i]
+        c2w = np.linalg.inv(E)
+        out[i] = corners @ c2w[:3, :3].T + c2w[:3, 3]
+    return out
+
+
+def camera_wire_segments(
+    extrinsics_w2c: np.ndarray, scene_scale: float, aspect: float = 1.0
+):
     """Wireframe frusta line segments for the viewer, one color per camera."""
     from omnivggt_tpu.viz.glb import _rainbow
 
     segs, cols = [], []
     n = len(extrinsics_w2c)
-    w = scene_scale * 0.03
-    h = scene_scale * 0.06
-    corners = np.array(
-        [[-w, -w, h], [w, -w, h], [w, w, h], [-w, w, h]], np.float32
-    )
+    corners = _frustum_corners(scene_scale, aspect)
     for i in range(n):
         E = np.eye(4)
         E[:3, :4] = extrinsics_w2c[i]
@@ -240,10 +362,17 @@ def serve_scene(
     init_conf_threshold: float = 25.0,
     background_mode: bool = False,
     use_point_map: bool = False,
+    mask_black_bg: bool = False,
+    mask_white_bg: bool = False,
 ) -> Optional[threading.Thread]:
     """Serve the interactive viewer for a (batch-dim-removed, numpy) prediction
     dict with keys world_points / world_points_conf / images / extrinsic (and
-    world_points_from_depth when use_point_map is False)."""
+    world_points_from_depth when use_point_map is False).
+
+    mask_black_bg / mask_white_bg set the initial state of the viewer's
+    background-filter checkboxes (reference: inference.py:135-142 — drop
+    points with color sum < 16 / all channels > 240); the filters run in
+    the point shader like the confidence slider, so toggling is instant."""
     if use_point_map or "world_points_from_depth" not in predictions:
         pts = predictions["world_points"]
         conf = predictions["world_points_conf"]
@@ -272,7 +401,10 @@ def serve_scene(
     c2w = np.linalg.inv(E)
     c2w[:, :3, 3] -= center
     ex_centered = np.linalg.inv(c2w)[:, :3, :4]
-    segs, seg_cols = camera_wire_segments(ex_centered, scene_scale)
+    aspect = W / H
+    segs, seg_cols = camera_wire_segments(ex_centered, scene_scale, aspect)
+    quads = camera_quads(ex_centered, scene_scale, aspect)
+    atlas, thumb_shape = thumbnail_atlas(images)
 
     # per-camera [position, +z view direction] for click-to-set-viewpoint
     cam_poses = np.concatenate(
@@ -280,9 +412,14 @@ def serve_scene(
     ).astype(np.float32)
 
     payload = build_payload(
-        points, colors, conf_flat, frame_ids, S, segs, seg_cols, cam_poses
+        points, colors, conf_flat, frame_ids, S, segs, seg_cols, cam_poses,
+        cam_quads=quads, atlas=atlas, thumb_shape=thumb_shape,
     )
-    page = _PAGE.replace("CONF0", str(int(init_conf_threshold)))
+    page = (
+        _PAGE.replace("CONF0", str(int(init_conf_threshold)))
+        .replace("MB0", " checked" if mask_black_bg else "")
+        .replace("MW0", " checked" if mask_white_bg else "")
+    )
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):

@@ -160,7 +160,34 @@ def test_viewer_server_roundtrip():
     np.testing.assert_allclose(
         cam_poses[1, :3] - cam_poses[0, :3], rel_ref, atol=1e-5
     )
-    assert off + S * 24 == len(data)
+    off += S * 24
+
+    # textured-frustum section: far-plane quads + thumbnail atlas
+    # (reference parity: add_camera_frustum(..., image=img),
+    #  /root/reference/inference.py:196-209)
+    quads = np.frombuffer(data[off : off + S * 48], np.float32).reshape(S, 4, 3)
+    off += S * 48
+    assert np.isfinite(quads).all() and not np.allclose(quads, 0)
+    # quad centers sit in front of the camera along its view direction
+    centers = quads.mean(axis=1)
+    for s in range(S):
+        d = centers[s] - cam_poses[s, :3]
+        assert np.dot(d, cam_poses[s, 3:]) > 0
+    tw, th, cols_n, rows_n = struct.unpack("<IIII", data[off : off + 16])
+    off += 16
+    assert tw > 0 and th > 0 and cols_n * rows_n >= S
+    atlas = np.frombuffer(
+        data[off : off + rows_n * th * cols_n * tw * 3], np.uint8
+    )
+    off += rows_n * th * cols_n * tw * 3
+    assert off == len(data)
+    # frame 0's atlas cell reproduces its (nearest-subsampled) image colors
+    atlas = atlas.reshape(rows_n * th, cols_n * tw, 3)
+    expect = (preds["images"][0][: th, : tw] * 255).astype(np.uint8)
+    np.testing.assert_array_equal(atlas[:th, :tw], expect)
+    # viewer page ships the bg-mask checkboxes + textured-frustum shader
+    assert b"mblack" in page and b"mwhite" in page
+    assert b"texture2D" in page
 
 
 @pytest.mark.slow
