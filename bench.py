@@ -26,7 +26,16 @@ load by certify_fast_modes), BENCH_COMPRESS=0 to keep fp32 trunk weight
 storage (default: bf16-stored trunk weights, checkpoint.cast_trunk_params —
 <= ~1e-5 output delta, +2% throughput), BENCH_TRUNK_QUANT=int8 to make the
 headline itself the W8A8 trunk mode, BENCH_INT8_POINT=0 to skip the extra
-int8 S=8 measurement that is otherwise reported as views_per_sec_int8.
+int8 S=8 measurement that is otherwise reported as views_per_sec_int8,
+BENCH_CERTIFY=1 to run the certification ladder on the random init and
+bench what it picks instead of the hardwired modes.
+
+The JSON's "modes" block records the exact serving modes the headline ran
+with and their provenance (hardwired assumptions vs ladder-certified) —
+the headline and the serving mechanism are otherwise different code paths.
+Run-to-run variance through the TPU tunnel is ~±3% (r3: 19.32 driver run
+vs 19.75/19.88 same-code builder runs); treat deltas inside that band as
+noise, not regressions.
 """
 
 import json
@@ -105,6 +114,23 @@ def main():
         params = cast_trunk_params(params)
     jax.block_until_ready(params)
 
+    # provenance: by default the fast modes above are HARDWIRED benchmark
+    # assumptions (BENCH_* env), not the output of the per-checkpoint
+    # certification ladder — random-init weights may not pass the gates the
+    # serving path enforces (random flagship init fails the 2e-2 pose gate
+    # for the int8 trunk at ~6e-2). BENCH_CERTIFY=1 instead runs
+    # certify_fast_modes on this init and benches what the ladder picks.
+    provenance = "hardwired"
+    if os.environ.get("BENCH_CERTIFY", "0") != "0":
+        import dataclasses
+
+        base = dataclasses.replace(
+            cfg, head_dtype="float32", approx_gelu=False,
+            trunk_quant="none", attn_quant="none", head_quant="none",
+        )
+        cfg = M.certify_fast_modes(params, base)
+        provenance = "certified (certify_fast_modes on this random init)"
+
     @jax.jit
     def fwd(params, images):
         preds = M.apply(params, images, cfg)
@@ -123,6 +149,17 @@ def main():
         "value": round(views_per_sec, 4),
         "unit": "views/sec/chip",
         "mfu": round(mfu, 4),
+        # the exact serving modes this headline ran with, and whether they
+        # came from the certification ladder or are benchmark assumptions
+        "modes": {
+            "head_dtype": cfg.head_dtype,
+            "approx_gelu": cfg.approx_gelu,
+            "trunk_quant": cfg.trunk_quant,
+            "attn_quant": cfg.attn_quant,
+            "head_quant": cfg.head_quant,
+            "weights": "random-init",
+            "provenance": provenance,
+        },
     }
 
     if os.environ.get("BENCH_SWEEP", "1") != "0":

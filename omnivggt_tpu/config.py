@@ -205,10 +205,13 @@ class OmniVGGTConfig:
     attn_quant: str = "none"
     # DPT-head conv quantisation: "none" | "int8" — W8A8 for the heavy 3x3
     # convs (ops/layers.qconv2d_int8; the final regression 1x1 stays
-    # full-precision). Serving-only and NOT in the automatic certification
-    # ladder: whether int8 convs beat bf16 on this chip is measured by
-    # tools/bench_int8_conv.py first (XLA may not lower s8 convs onto the
-    # int8 MXU); opt in explicitly once the measurement says yes.
+    # full-precision). Serving-only. Measured (r4, tools/bench_int8_conv.py
+    # + paired bench runs): per-conv w8a8 is 1.15-1.49x bf16 (int8-raw only
+    # ~1.0-1.4x — XLA lowers s8 convs but not at the 2x MXU rate), which
+    # nets +1% end-to-end ON THE INT8 TRUNK RUNG (21.31 -> 21.51 views/s)
+    # and exactly neutral on the bf16-heads modes — so the certification
+    # ladder probes this as an upgrade only when the int8 trunk rung wins
+    # (models/omnivggt.certify_fast_modes).
     head_quant: str = "none"
     # permit the fixed-max flash softmax for qk-normed attention (exact up to
     # float rounding while the weight-dependent logit bound holds; checkpoint

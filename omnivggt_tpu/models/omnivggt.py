@@ -340,8 +340,11 @@ def certify_fast_modes(
     still pass AGAINST THE REFERENCE-PARITY forward — gating against the
     winning rung instead would let the served config drift up to 2x the
     advertised tolerance from parity (rung-vs-ref + attn-vs-rung
-    compounding). Runs only when the caller has not already chosen a fast
-    mode.
+    compounding). When the int8 trunk rung wins, a head_quant="int8"
+    upgrade (W8A8 DPT-head convs) is probed the same way — it measures
+    +1% there and neutral elsewhere (tools/bench_int8_conv.py + paired
+    end-to-end, r4). Runs only when the caller has not already chosen a
+    fast mode.
 
     Production loaders (from_safetensors / from_pretrained with
     head_dtype="auto") persist the verdict next to the checkpoint keyed by
@@ -354,7 +357,8 @@ def certify_fast_modes(
     log = logging.getLogger(__name__)
 
     if (cfg.head_dtype != "float32" or cfg.approx_gelu
-            or cfg.trunk_quant != "none" or cfg.attn_quant != "none"):
+            or cfg.trunk_quant != "none" or cfg.attn_quant != "none"
+            or cfg.head_quant != "none"):
         return cfg  # caller already chose; nothing to certify
 
     def snap(hw):
@@ -417,11 +421,34 @@ def certify_fast_modes(
         pose_tol, rel_tol,
     )
     if not failed:
-        return upgraded
-    log.warning(
-        "attn_quant=int8 certification failed (%s); keeping attn_quant=none",
-        ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
-    )
+        best = upgraded
+    else:
+        log.warning(
+            "attn_quant=int8 certification failed (%s); keeping "
+            "attn_quant=none",
+            ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
+        )
+
+    # head_quant upgrade probe: W8A8 DPT-head convs only pay on the int8
+    # trunk rung (paired r4 measurement: 21.31 -> 21.51 views/s there, but
+    # EXACTLY neutral on the bf16-heads modes — 19.884 vs 19.890 — where the
+    # quantizable 3x3 convs are too small a slice of the heads). Probed at
+    # the final resolution (DPT upsample magnitudes match serving) against
+    # the parity reference, like the attn upgrade.
+    if best.trunk_quant == "int8" and best.head_quant == "none":
+        upgraded = dataclasses.replace(best, head_quant="int8")
+        failed = _probe_failures(
+            ref_f, _probe_outputs(params, upgraded, fin_hw, probe_s),
+            pose_tol, rel_tol,
+        )
+        if not failed:
+            best = upgraded
+        else:
+            log.warning(
+                "head_quant=int8 certification failed (%s); keeping "
+                "head_quant=none",
+                ", ".join(f"{k}={v:.4g}" for k, v in failed.items()),
+            )
     return best
 
 

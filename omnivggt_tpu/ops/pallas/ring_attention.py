@@ -51,7 +51,13 @@ DEFAULT_BLOCK_K = 512
 CHUNK_Q = 2048  # q rows whose softmax state is VMEM-resident per ring pass
 MAX_LOCAL_SEQ = 16384  # VMEM-resident KV double-buffer cap at D=64 bf16
 # HBM-staged variant: q (2-4B/elem), acc (4B), m/l (64B/row) must fit VMEM
-# together (~nl * 450B at D=64 fp32) — 28672 = 56 * 512 keeps headroom
+# together (~nl * 450B at D=64 fp32) — 28672 = 56 * 512 keeps headroom.
+# Extending the fused cap further (a q-chunked HBM ring) is a documented
+# roofline-backed negative: beyond this cap the unfused ppermute ring's
+# per-step comm is hidden under per-step attention compute by >40x
+# (167 views: 1.3 ms vs 56 ms; 256: 2.0 vs 132 — see ROADMAP + the bench
+# roofline), so in-kernel RDMA overlap has <2.5% to recover while paying
+# nl/CHUNK_Q extra rotations. Don't retry without multi-chip measurements.
 MAX_LOCAL_SEQ_HBM = 28672
 
 

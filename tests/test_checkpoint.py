@@ -177,6 +177,9 @@ def test_certify_fast_modes_ladder():
     # int8 — the ladder then falls back, as asserted above)
     loose = certify_fast_modes(model.params, cfg, pose_tol=0.2, rel_tol=0.2)
     assert loose.trunk_quant == "int8" and loose.head_dtype == "bfloat16"
+    # ... and the int8 trunk rung carries the head_quant upgrade probe
+    # (W8A8 DPT-head convs — only worth it on that rung, see config.py)
+    assert loose.head_quant == "int8"
 
     # zero tolerance: every fast mode fails -> reference-parity config kept
     strict = certify_fast_modes(model.params, cfg, pose_tol=0.0, rel_tol=0.0)
@@ -192,6 +195,8 @@ def test_certify_fast_modes_ladder():
     assert certify_fast_modes(model.params, forced_ln) is forced_ln
     forced_attn = dataclasses.replace(cfg, attn_quant="int8")
     assert certify_fast_modes(model.params, forced_attn) is forced_attn
+    forced_hq = dataclasses.replace(cfg, head_quant="int8")
+    assert certify_fast_modes(model.params, forced_hq) is forced_hq
 
     # the attn_quant upgrade probe runs on whatever rung wins; on this CPU
     # test backend the flash kernel never dispatches, so the probe deltas

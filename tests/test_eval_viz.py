@@ -423,3 +423,77 @@ def test_sky_onnx_env_model_path(tmp_path, monkeypatch):
 
     monkeypatch.setenv("OMNIVGGT_SKYSEG_ONNX", str(tmp_path / "nope.onnx"))
     assert sky._get_onnx_session() is None
+
+
+def test_sky_onnx_branch_with_stub_runtime(tmp_path, monkeypatch):
+    """The reference-default ONNX sky path (visual_util.py:453-490 semantics:
+    320x320 imagenet-normalised NCHW input, min-max rescale, <32 -> non-sky)
+    executes end-to-end against a stubbed onnxruntime, including the PNG
+    cache short-circuit. Keeps the never-run-in-this-image branch tested."""
+    import sys
+    import types
+
+    import cv2
+
+    from omnivggt_tpu.viz import sky
+
+    H, W = 40, 48
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = np.zeros((H, W, 3), np.uint8)
+    img[: H // 2] = [200, 220, 255]  # top half "sky"
+    img[H // 2 :] = [60, 40, 20]
+    for name in ("a.png", "b.png"):
+        cv2.imwrite(str(img_dir / name), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    calls = []
+
+    class _FakeSession:
+        def __init__(self, path):
+            calls.append(("init", path))
+
+        def get_inputs(self):
+            return [types.SimpleNamespace(name="input.1")]
+
+        def get_outputs(self):
+            return [types.SimpleNamespace(name="out")]
+
+        def run(self, out_names, feeds):
+            x = feeds["input.1"]
+            calls.append(("run", x.shape, x.dtype))
+            # u2net-style contract: (1, 3, 320, 320) fp32, imagenet-normalised
+            assert x.shape == (1, 3, 320, 320) and x.dtype == np.float32
+            # sky (bright blue) pixels normalise positive, ground negative
+            assert x.max() > 0 and x.min() < 0
+            sal = np.zeros((1, 1, 320, 320), np.float32)
+            sal[:, :, :160] = 1.0  # model says: top half is sky
+            return [sal]
+
+    fake = types.ModuleType("onnxruntime")
+    fake.InferenceSession = _FakeSession
+    monkeypatch.setitem(sys.modules, "onnxruntime", fake)
+    model = tmp_path / "skyseg.onnx"
+    model.write_bytes(b"fake")
+    monkeypatch.setenv("OMNIVGGT_SKYSEG_ONNX", str(model))
+
+    cache = tmp_path / "cache"
+    masks = sky.sky_masks_for_folder(
+        str(img_dir), (H, W), cache_dir=str(cache)
+    )
+    assert masks.shape == (2, H, W)
+    n_runs = sum(1 for c in calls if c[0] == "run")
+    assert n_runs == 2  # the ONNX branch ran, once per image
+    # saliency>=32 (sky) -> 0, <32 -> 255 non-sky, resized back to H x W
+    assert masks[0, : H // 4].mean() < 32
+    assert masks[0, 3 * H // 4 :].mean() > 223
+    # PNGs cached per image; a second call serves from cache, no new runs
+    assert sorted(p.name for p in (cache / "sky_masks").iterdir()) == [
+        "a.png", "b.png",
+    ]
+    again = sky.sky_masks_for_folder(str(img_dir), (H, W), cache_dir=str(cache))
+    assert sum(1 for c in calls if c[0] == "run") == n_runs
+    np.testing.assert_array_equal(masks, again)
+
+    # without the model file the session is None and the HSV fallback runs
+    monkeypatch.setenv("OMNIVGGT_SKYSEG_ONNX", str(tmp_path / "missing.onnx"))
+    assert sky._get_onnx_session() is None

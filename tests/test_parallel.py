@@ -308,3 +308,28 @@ def test_allgather_qk_int8_padding_scale_isolation():
     # without the q-zeroing (and the kv_valid scale masking for k), the
     # x1000 garbage inflates the per-head scales and this blows past 1.0
     assert 0 < d < 2e-2, d
+
+
+def test_unfused_ring_suffices_beyond_hbm_cap():
+    """Roofline-backed negative pin (round 4): past the HBM-staged fused
+    ring's 28,672-token/device cap, the UNFUSED ppermute ring's per-step
+    comm is hidden under per-step attention compute with >40x headroom, so
+    a q-chunked fused extension has <2.5% to recover — the documented
+    reason the cap is not lifted (ops/pallas/ring_attention.py, ROADMAP)."""
+    from omnivggt_tpu.ops.pallas.ring_attention import (
+        MAX_LOCAL_SEQ_HBM, fits_hbm_ring, hbm_ring_padded_len,
+    )
+    from omnivggt_tpu.utils.profiling import sharded_attention_roofline
+
+    roof = sharded_attention_roofline(views=(64, 128, 167, 256))
+    for v in (167, 256):
+        layer = roof["per_layer"][v]
+        # these view counts genuinely exceed the fused cap ...
+        assert not layer["hbm_ring_ok"]
+        assert not fits_hbm_ring(v * 1374 // 8)
+        # ... and there the unfused ring still hides its comm entirely,
+        # with the worst-case (zero-overlap) exposure under 2.5%
+        assert layer["ring_comm_hidden"] and layer["ring_comm_hidden_int8"]
+        assert layer["ring_step_comm_ms"] / layer["ring_step_attn_ms"] < 0.025
+    # the north-star 128-view shape stays INSIDE the fused kernel's cap
+    assert hbm_ring_padded_len(128 * 1374 // 8) <= MAX_LOCAL_SEQ_HBM
