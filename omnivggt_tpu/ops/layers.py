@@ -14,6 +14,7 @@ Semantics track the reference layer zoo:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -21,6 +22,24 @@ import jax.numpy as jnp
 
 from omnivggt_tpu.ops.attention import scaled_dot_product_attention
 from omnivggt_tpu.ops.rope import apply_rope
+
+# Epilogue barrier (r4, VERDICT item 2): optimization_barrier between each
+# block matmul and its residual add, keeping the residual add + the NEXT
+# LayerNorm's mean/var reductions out of the matmul's kOutput epilogue
+# (profiled at ~91 TF/s vs fc1's 174 when fused). Long paired runs on the
+# chip (BENCH_ITERS=60, S=8 @518px): 20.14 / 20.15 without vs 20.48 / 20.49
+# with — a reproducible +1.7%; exactly neutral at S=64 (6.6462 vs 6.6464,
+# attention-dominated). The isolated LN->MLP->residual scan measures the
+# OPPOSITE sign (tools/bench_fc2_fusion.py: 30.67 -> 31.27 ms with the
+# barrier) — the win only exists in the full model where the epilogue also
+# drags LayerScale + the slot-buffer write into the matmul — so don't trust
+# the microbench here. Default ON; OMNIVGGT_EPILOGUE_BARRIER=0 opts out.
+# Exact identity (and identity under AD), so parity is unaffected.
+_EPILOGUE_BARRIER = os.environ.get("OMNIVGGT_EPILOGUE_BARRIER", "1") != "0"
+
+# Barrier between the qkv matmul and the Pallas-kernel head split/transpose
+# (see attention() below) — experimental, measured before defaulting.
+_QKV_BARRIER = os.environ.get("OMNIVGGT_QKV_BARRIER", "0") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +289,28 @@ def attention(
     B, N, C = x.shape
     head_dim = C // num_heads
     q_ln, q_res = _quant_gates(int8_dense)
-    qkv = dense(p["qkv"], x, q_ln).reshape(B, N, 3, num_heads, head_dim)
+    qkv = dense(p["qkv"], x, q_ln)
+
+    # resolve the consuming attention impl BEFORE the head split: the Pallas
+    # kernels want (B*H, N, D) q/k/v, and without a barrier XLA fuses that
+    # transposed write into the qkv matmul's epilogue, halving its rate
+    # (profiled r4: global qkv 0.72 ms/layer at ~96 TF/s in the
+    # [1,10992,3,16,64]{4,1,3,2,0} transposed-write fusion vs the frame
+    # qkv's 0.38 ms at ~180 with a natural-layout write). The barrier
+    # forces a peak-rate natural-layout matmul + an explicit (cheaper,
+    # bandwidth-bound) relayout pass. Experimental, off by default until
+    # the paired bench says otherwise (OMNIVGGT_QKV_BARRIER=1).
+    from omnivggt_tpu.ops.attention import resolve_impl
+
+    qshape = (B, N, num_heads, head_dim)
+    if shard is not None:
+        mm = shard.resolve_impl(qshape, impl) != "xla"
+    else:
+        mm = resolve_impl(qshape, impl) != "xla"
+    if _QKV_BARRIER and mm:
+        qkv = jax.lax.optimization_barrier(qkv)
+
+    qkv = qkv.reshape(B, N, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
     if "q_norm" in p:
@@ -283,12 +323,6 @@ def attention(
         # XLA attention (which fuses it into its own prologue). Sharded
         # strategies resolve on the PER-SHARD shape — allgather/rows can
         # land on XLA attention too (AttnShard.resolve_impl).
-        from omnivggt_tpu.ops.attention import resolve_impl
-
-        if shard is not None:
-            mm = shard.resolve_impl(q.shape, impl) != "xla"
-        else:
-            mm = resolve_impl(q.shape, impl) != "xla"
         q = apply_rope(q, rope_cos, rope_sin, prefer_matmul=mm)
         k = apply_rope(k, rope_cos, rope_sin, prefer_matmul=mm)
 
@@ -396,12 +430,16 @@ def block(
         h = h * p["ls1"]["gamma"].astype(h.dtype)
     if use_dp:
         h = drop_path(dp1, h, drop_path_rate)
+    if _EPILOGUE_BARRIER:
+        h = jax.lax.optimization_barrier(h)
     x = x + h
     h = mlp(p["mlp"], layer_norm(p["norm2"], x, ln_eps), approx_gelu=approx_gelu, int8_dense=int8_dense)
     if "ls2" in p:
         h = h * p["ls2"]["gamma"].astype(h.dtype)
     if use_dp:
         h = drop_path(dp2, h, drop_path_rate)
+    if _EPILOGUE_BARRIER:
+        h = jax.lax.optimization_barrier(h)
     return x + h
 
 
