@@ -387,6 +387,84 @@ class InferenceSession:
                     results[i] = out
         return results
 
+    @staticmethod
+    def _dummy_request(S: int, H: int, W: int,
+                       camera_gt: bool, depth_gt: bool) -> dict:
+        """A validation-passing zero scene of the given shape/modality combo
+        (identity cameras, unit depth) — executables are keyed on shapes,
+        not values, so this warms exactly the cache entry real traffic of
+        that shape will hit."""
+        req: dict = {"images": np.zeros((S, H, W, 3), np.float32)}
+        if camera_gt:
+            ex = np.zeros((S, 3, 4), np.float32)
+            ex[:, 0, 0] = ex[:, 1, 1] = ex[:, 2, 2] = 1.0
+            K = np.zeros((S, 3, 3), np.float32)
+            K[:, 0, 0] = K[:, 1, 1] = float(max(H, W))
+            K[:, 0, 2] = W / 2.0
+            K[:, 1, 2] = H / 2.0
+            K[:, 2, 2] = 1.0
+            req.update(extrinsics=ex, intrinsics=K, camera_gt_index=[0])
+        if depth_gt:
+            req.update(
+                depth=np.ones((S, H, W, 1), np.float32),
+                mask=np.ones((S, H, W), np.float32),
+                depth_gt_index=[0],
+            )
+        return req
+
+    def warmup(
+        self,
+        frame_counts: Sequence[int] = (8,),
+        hw: tuple = (518, 518),
+        batch_sizes: Sequence[int] = (1,),
+        include_masked: bool = True,
+        modalities: Sequence[tuple] = ((False, False),),
+    ) -> List[tuple]:
+        """Pre-compile the executables serving is expected to need.
+
+        The first request hitting a new (bucket, resolution, modality,
+        batch) key pays the full XLA compile — minutes through this host's
+        TPU tunnel — so without warmup the cold-start cost lands on a real
+        caller (and can blow its request deadline). This runs one zero
+        scene through each expected key up front instead; together with the
+        persisted fast-mode certification (omnivggt_tpu.certification) it
+        makes process restart -> first served request a bounded, warm path.
+
+        frame_counts: expected scene sizes. Each warms its enclosing
+            bucket's exact-fit executable, plus — in bucket mode, when
+            `include_masked` — the masked executable whose traced
+            num_valid_frames serves every smaller S in that bucket.
+        hw: input resolution to warm.
+        batch_sizes: Batcher stack sizes to warm (each B is its own
+            executable).
+        modalities: (camera_gt, depth_gt) combos to warm.
+
+        Returns the executable keys newly compiled, in cache order.
+        """
+        H, W = hw
+        before = set(self._jitted)
+        sizes: List[int] = []
+        for S in frame_counts:
+            Sb = self._bucket(S)
+            if Sb not in sizes:
+                sizes.append(Sb)  # exact-fit (unmasked) executable
+            # the masked executable only exists for buckets that can
+            # receive a smaller S (e.g. bucket 2 over buckets (1, 2) can't:
+            # S=1 routes to bucket 1)
+            if (include_masked and self.pad_mode == "bucket" and Sb > 1
+                    and self._bucket(Sb - 1) == Sb and Sb - 1 not in sizes):
+                sizes.append(Sb - 1)
+        for camera_gt, depth_gt in modalities:
+            for S in sizes:
+                req = self._dummy_request(S, H, W, bool(camera_gt), bool(depth_gt))
+                for B in batch_sizes:
+                    if B <= 1:
+                        self.infer(**req)
+                    else:
+                        self.infer_batch([dict(req) for _ in range(B)],
+                                         max_batch=B)
+        return [k for k in self._jitted if k not in before]
+
 
 class Batcher:
     """Coalesces concurrent requests into batched forwards.
@@ -524,14 +602,25 @@ def _glb_from_preds(preds: Dict[str, np.ndarray], H: int, W: int,
 def serve(session: InferenceSession, port: int = 8000, background: bool = False,
           token: Optional[str] = None, batch_window_ms: float = 0.0,
           max_batch: int = 8, request_timeout_s: Optional[float] = None,
-          probe: Optional[BackendProbe] = None):
+          probe: Optional[BackendProbe] = None,
+          warmup_frame_counts: Optional[Sequence[int]] = None,
+          warmup_hw: tuple = (518, 518)):
     """POST /infer (npz body) -> npz predictions; POST /infer_glb -> binary
     GLB; GET /healthz -> JSON incl. a deadline-bounded device-liveness
     verdict. `token` enables bearer auth; `batch_window_ms` > 0 coalesces
     concurrent compatible requests into batched forwards (see Batcher);
     `request_timeout_s` bounds every inference dispatch — a wedged backend
-    returns 503 instead of hanging the connection (first-compile requests
-    need a timeout well above this host's minutes-long TPU compile)."""
+    returns 503 instead of hanging the connection. `warmup_frame_counts`
+    pre-compiles those buckets at `warmup_hw` BEFORE the port binds, so no
+    real caller pays the minutes-long first-compile (and so
+    `request_timeout_s` can be set near steady-state latency rather than
+    above compile time). Warmup covers single-scene (B=1) executables;
+    deployments batching heavily should also call session.warmup with the
+    expected batch_sizes/modalities."""
+    if warmup_frame_counts:
+        t0 = time.time()
+        keys = session.warmup(frame_counts=warmup_frame_counts, hw=warmup_hw)
+        print(f"warmup: {len(keys)} executables compiled in {time.time()-t0:.1f}s")
     batcher = (
         Batcher(session, max_batch=max_batch, window_ms=batch_window_ms)
         if batch_window_ms > 0

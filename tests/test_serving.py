@@ -439,3 +439,65 @@ def test_http_timeout_returns_503():
     finally:
         release.set()
         httpd.shutdown()
+
+
+def test_warmup_precompiles_buckets():
+    """warmup() compiles exactly the executables later traffic hits — a
+    warmed session serves new scene sizes without growing the jit cache."""
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2, 4), pad_mode="bucket"
+    )
+    keys = session.warmup(frame_counts=(4,), hw=(28, 28))
+    # exact-fit (unmasked) + traced-num_valid masked executables, bucket 4
+    assert set(keys) == {
+        (4, 28, 28, False, False, False, 1),
+        (4, 28, 28, False, False, True, 1),
+    }
+    assert set(session._jitted) == set(keys)
+
+    rng = np.random.default_rng(0)
+    session.infer(rng.uniform(size=(3, 28, 28, 3)).astype(np.float32))
+    session.infer(rng.uniform(size=(4, 28, 28, 3)).astype(np.float32))
+    assert set(session._jitted) == set(keys)  # no new compiles
+
+
+def test_warmup_skips_gapless_masked_bucket():
+    """Bucket 2 over (1, 2) can never receive a padded scene (S=1 routes to
+    bucket 1), so warmup must not compile a masked executable for it."""
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(1, 2), pad_mode="bucket"
+    )
+    keys = session.warmup(frame_counts=(1, 2), hw=(28, 28))
+    assert set(keys) == {
+        (1, 28, 28, False, False, False, 1),
+        (2, 28, 28, False, False, False, 1),
+    }
+
+
+def test_warmup_modalities_and_batch_sizes():
+    """(camera_gt, depth_gt) combos and Batcher stack sizes each warm their
+    own executable; warmed aux traffic then hits the cache."""
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2,), pad_mode="bucket"
+    )
+    keys = session.warmup(
+        frame_counts=(2,), hw=(28, 28), batch_sizes=(1, 2),
+        include_masked=False, modalities=((True, True),),
+    )
+    assert set(keys) == {
+        (2, 28, 28, True, True, False, 1),
+        (2, 28, 28, True, True, False, 2),
+    }
+
+    rng = np.random.default_rng(1)
+    ex = np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1))
+    K = np.tile(np.diag([30.0, 30.0, 1.0]).astype(np.float32), (2, 1, 1))
+    K[:, 0, 2] = K[:, 1, 2] = 14
+    session.infer(
+        rng.uniform(size=(2, 28, 28, 3)).astype(np.float32),
+        extrinsics=ex, intrinsics=K,
+        depth=np.ones((2, 28, 28, 1), np.float32),
+        mask=np.ones((2, 28, 28), np.float32),
+        camera_gt_index=[0], depth_gt_index=[0],
+    )
+    assert len(session._jitted) == 2  # still only the warmed executables
