@@ -38,8 +38,23 @@ from omnivggt_tpu.ops.rope import apply_rope
 _EPILOGUE_BARRIER = os.environ.get("OMNIVGGT_EPILOGUE_BARRIER", "1") != "0"
 
 # Barrier between the qkv matmul and the Pallas-kernel head split/transpose
-# (see attention() below) — experimental, measured before defaulting.
-_QKV_BARRIER = os.environ.get("OMNIVGGT_QKV_BARRIER", "0") != "0"
+# (see attention() below): without it XLA fuses the transposed (B,N,3,H,D)
+# head-split write into the qkv matmul epilogue, halving its rate (profiled
+# r4: 0.72 ms/layer at ~96 TF/s vs the natural-layout frame qkv's 0.38 at
+# ~180). The barrier buys a peak-rate matmul + an explicit bandwidth-bound
+# relayout: paired A/B/B/A on the chip (S=8 @518px, BENCH_ITERS=60) measured
+# 20.454/20.463 off vs 20.593/20.592 on — a reproducible +0.67%. Default ON
+# for Pallas-consumer call sites only (XLA attention fuses the split into
+# its own prologue better); OMNIVGGT_QKV_BARRIER=0 opts out. Exact identity.
+_QKV_BARRIER = os.environ.get("OMNIVGGT_QKV_BARRIER", "1") != "0"
+
+# int8-qk pays a per-token cost (per-head quant passes, f32->s8 conversions,
+# scale reductions) to halve the score-matmul time, which is quadratic in N —
+# so it has a break-even sequence length. Experimental dispatch floor for the
+# UNSHARDED path (the sharded strategies keep int8 regardless: their KV
+# quantisation also halves ICI bytes): 0 = int8 everywhere (current
+# behavior), N below the floor runs the bf16 flash kernel.
+_INT8_QK_MIN_SEQ = int(os.environ.get("OMNIVGGT_INT8_QK_MIN_SEQ", "0"))
 
 
 # ---------------------------------------------------------------------------
@@ -293,13 +308,8 @@ def attention(
 
     # resolve the consuming attention impl BEFORE the head split: the Pallas
     # kernels want (B*H, N, D) q/k/v, and without a barrier XLA fuses that
-    # transposed write into the qkv matmul's epilogue, halving its rate
-    # (profiled r4: global qkv 0.72 ms/layer at ~96 TF/s in the
-    # [1,10992,3,16,64]{4,1,3,2,0} transposed-write fusion vs the frame
-    # qkv's 0.38 ms at ~180 with a natural-layout write). The barrier
-    # forces a peak-rate natural-layout matmul + an explicit (cheaper,
-    # bandwidth-bound) relayout pass. Experimental, off by default until
-    # the paired bench says otherwise (OMNIVGGT_QKV_BARRIER=1).
+    # transposed write into the qkv matmul's epilogue, halving its rate —
+    # see _QKV_BARRIER above for the measurements.
     from omnivggt_tpu.ops.attention import resolve_impl
 
     qshape = (B, N, num_heads, head_dim)
@@ -338,7 +348,7 @@ def attention(
     else:
         o = scaled_dot_product_attention(
             q, k, v, impl=impl, kv_valid=kv_valid, bounded_logits=bounded,
-            qk_int8=int8_qk,
+            qk_int8=int8_qk and N >= _INT8_QK_MIN_SEQ,
         )  # (B, N, H, D)
     o = o.reshape(B, N, C)
     return dense(p["proj"], o, q_res)
