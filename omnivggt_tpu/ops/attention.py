@@ -18,6 +18,7 @@ softmax in fp32.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,31 @@ _BLOCK_K = 1024
 # finite "minus infinity": true -inf hits VPU special-value slow paths on TPU
 # and is far below any real logit either way
 _NEG_INF = -1e30
+
+# token-major packed-heads kernel for short-sequence flash shapes (frame /
+# DINOv2 attention): reads q/k/v in their natural (B, N, H*D) layout, so the
+# four (B, N, H, D) <-> (BH, N, D) HBM relayout passes per attention vanish
+# (~18 ms of the S=8 forward across 48 layers). Measured at the frame shape
+# (8, 1374, 16, 64): 2.26 ms/layer vs 2.64 head-major bf16 and 2.73
+# head-major int8-qk — the packed bf16 kernel beats BOTH, so when it is
+# eligible it takes precedence over qk_int8 (which stays for the long
+# global-attention sequences where the 2x int8 MXU rate dominates).
+# OMNIVGGT_PACKED_ATTN=0 opts out.
+_PACKED_ATTN = os.environ.get("OMNIVGGT_PACKED_ATTN", "1") != "0"
+_PACKED_MAX_KEYS = 2048  # whole-key-axis VMEM block budget (see kernel)
+
+
+def packed_eligible(q_shape, n_keys: int) -> bool:
+    """Whether the token-major packed kernel serves this (q, k) pair.
+
+    n_keys is the KEY length — it can differ from q's length on the sharded
+    paths (allgather attention pairs a LOCAL q shard with the full gathered
+    K), and the packed kernel holds the whole key axis in one VMEM block, so
+    eligibility is bounded by n_keys, never by q's length (q is blocked)."""
+    D = q_shape[-1]
+    # D in {64, 128}: static 64-lane head slices inside the kernel; other
+    # head dims would need masked lane addressing (nothing here uses them)
+    return _PACKED_ATTN and n_keys <= _PACKED_MAX_KEYS and D in (64, 128)
 
 
 def _attention_xla(q, k, v, kv_valid=None):
@@ -138,7 +164,7 @@ def resolve_impl(shape, impl: str = "auto") -> str:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("impl", "bounded_logits", "qk_int8")
+    jax.jit, static_argnames=("impl", "bounded_logits", "qk_int8", "kv_static")
 )
 def _sdpa_jit(
     q: jnp.ndarray,
@@ -148,6 +174,7 @@ def _sdpa_jit(
     kv_valid=None,
     bounded_logits: bool = False,
     qk_int8: bool = False,
+    kv_static=None,
 ) -> jnp.ndarray:
     impl = resolve_impl(q.shape, impl)
     if impl == "xla":
@@ -155,8 +182,19 @@ def _sdpa_jit(
     if impl == "blockwise":
         return _attention_blockwise(q, k, v, kv_valid=kv_valid)
     if impl == "flash":
-        from omnivggt_tpu.ops.pallas.flash_attention import flash_attention
+        from omnivggt_tpu.ops.pallas.flash_attention import (
+            flash_attention,
+            flash_attention_packed,
+        )
 
+        if packed_eligible(q.shape, k.shape[1]):
+            # packed beats head-major int8 too at these shapes (see
+            # _PACKED_ATTN above), so it takes precedence over qk_int8
+            return flash_attention_packed(
+                q, k, v,
+                kv_valid=kv_static if kv_static is not None else kv_valid,
+                bounded_logits=bounded_logits,
+            )
         return flash_attention(
             q, k, v, kv_valid=kv_valid, bounded_logits=bounded_logits,
             qk_int8=qk_int8,
@@ -192,14 +230,17 @@ def scaled_dot_product_attention(
     MXU (serving-only; certified per-checkpoint). Only the flash impl honors
     it — xla/blockwise sequences are short/fallback paths where the per-head
     quantisation pass would not pay for itself."""
-    if (
-        kv_valid is not None
-        and isinstance(kv_valid, (int, np.integer))
-        and resolve_impl(q.shape, impl) == "xla"
-    ):
-        k, v = k[:, : int(kv_valid)], v[:, : int(kv_valid)]
-        kv_valid = None
+    kv_static = None
+    if kv_valid is not None and isinstance(kv_valid, (int, np.integer)):
+        impl_r = resolve_impl(q.shape, impl)
+        if impl_r == "xla":
+            k, v = k[:, : int(kv_valid)], v[:, : int(kv_valid)]
+            kv_valid = None
+        elif impl_r == "flash" and packed_eligible(q.shape, k.shape[1]):
+            # compile the valid-prefix count into the packed kernel's mask
+            # (no SMEM input, the mask select folds into the exp chain)
+            kv_static, kv_valid = int(kv_valid), None
     return _sdpa_jit(
         q, k, v, impl=impl, kv_valid=kv_valid,
-        bounded_logits=bounded_logits, qk_int8=qk_int8,
+        bounded_logits=bounded_logits, qk_int8=qk_int8, kv_static=kv_static,
     )

@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -723,3 +724,266 @@ def _masked_bwd(block_q, block_k, bounded, res, g):
 
 
 _flash_masked.defvjp(_masked_fwd, _masked_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed-heads (token-major) forward: frame / DINOv2 attention shapes
+# ---------------------------------------------------------------------------
+#
+# The standard kernels above run head-major ((B*H, N, D)), which costs four
+# HBM relayout passes per attention — q/k/v (B, N, H, D) -> (BH, N, D) plus
+# the output back — because Pallas TPU cannot express a (1, bq, 1, D) block
+# (singleton second-to-last dim). Measured at S=8 those transposes total
+# ~18 ms/forward across the frame + DINOv2 attention families (48 layers of
+# (8, ~1374, 16, 64)).
+#
+# This variant instead reads q/k/v in their NATURAL token-major layout
+# ((B, N, H*D) — exactly the qkv matmul's output, so the relayouts vanish)
+# and unrolls heads inside the kernel with STATIC 64-lane slices: for each
+# head, a (bq, D) x (Nk, D) score matmul, a one-shot softmax (the whole key
+# axis fits one block at these sequence lengths — no streaming state), and
+# a p @ [v_h | ones] matmul that folds the row sum exactly like the
+# streaming kernel. Per-head outputs concatenate back to (bq, H*D) lanes
+# for a single natural-layout store.
+#
+# Forward-only by construction: under AD the custom_vjp wrappers below
+# route the forward through the head-major kernel (whose fused backward
+# needs head-major residuals anyway), so training numerics are unchanged.
+
+DEFAULT_PACKED_BLOCK_Q = 232  # (344, 1374-whole-K) ran 548K over the 16 MB
+# scoped-VMEM limit at the frame-attention shape; 232 (1374 -> 6 blocks,
+# 18 pad rows) keeps the fp32 score tile + whole k/v blocks comfortably under
+# the limit. The masked / running-max variants keep ~3 more live (bq, Nk)
+# fp32 tiles on the Mosaic stack (mask select, running max, exp rescale):
+# 232 measured 2.51M over the limit at the DINOv2 shape, so they run
+# narrower q blocks.
+DEFAULT_PACKED_BLOCK_Q_MASKED = 144
+_PACKED_MAX_KEYS = 2048  # whole-K block budget: (2048, 1024) bf16 k + v
+
+
+def _flash_packed_kernel(
+    *refs, scale, num_heads, head_dim, n_keys, dynamic_valid, static_valid,
+    bounded
+):
+    if dynamic_valid:
+        nv_ref, q_ref, k_ref, v_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        nv_ref = None
+    # fold the softmax scale into q across all heads at once (one C-wide
+    # pass instead of a per-head Nk-wide pass over the score tiles)
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(k_ref.dtype)  # (bq, C)
+    k = k_ref[0]  # (Nk, C)
+    v = v_ref[0]
+    fold = head_dim < _LANES
+    if fold:
+        # shared ones-column tail packed after each head's D value lanes:
+        # one matmul then yields p @ v AND rowsum(p) (masked keys have
+        # p == 0, so the ones rows contribute nothing for them)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (n_keys, _LANES - head_dim), 1
+        )
+        tail = (lane == 0).astype(v.dtype)
+    need_mask = dynamic_valid or (
+        static_valid is not None and static_valid < n_keys
+    )
+    if need_mask:
+        nv = nv_ref[0, 0] if dynamic_valid else static_valid
+        key_row = jax.lax.broadcasted_iota(jnp.int32, (1, n_keys), 1)
+        invalid = key_row >= nv  # (1, Nk), broadcast over query rows
+    outs = []
+    for h in range(num_heads):
+        lo = h * head_dim
+        s = jax.lax.dot_general(
+            q[:, lo:lo + head_dim],
+            k[:, lo:lo + head_dim],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, Nk)
+        if need_mask:
+            s = jnp.where(invalid, _NEG_INF, s)
+        if bounded:
+            p = jnp.exp(jnp.minimum(s, _BOUNDED_CLAMP))
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+        vh = v[:, lo:lo + head_dim]
+        if fold:
+            both = jax.lax.dot_general(
+                p.astype(v.dtype),
+                jnp.concatenate([vh, tail], axis=-1),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, 128): [:D] = p @ v, [D] = rowsum(p)
+            acc = both[:, :head_dim]
+            l = both[:, head_dim:head_dim + 1]
+        else:
+            acc = jax.lax.dot_general(
+                p.astype(v.dtype), vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            l = jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(acc / l)
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _flash_packed_forward(q, k, v, block_q, kv_valid=None, bounded=False):
+    B, N, H, D = q.shape
+    C = H * D
+    Nk = k.shape[1]
+    if block_q is None:
+        block_q = (
+            DEFAULT_PACKED_BLOCK_Q
+            if bounded and kv_valid is None
+            else DEFAULT_PACKED_BLOCK_Q_MASKED
+        )
+    # (B, N, H, D) is a contiguous view of the token-major (B, N, C)
+    # activations — these reshapes move no data
+    q3, k3, v3 = (x.reshape(x.shape[0], x.shape[1], C) for x in (q, k, v))
+
+    block_q = _pick_block(N, block_q, 8)
+    pad_q = (-N) % block_q
+    if pad_q:
+        q3 = jnp.pad(q3, ((0, 0), (0, pad_q), (0, 0)))
+
+    # the public wrapper splits the cases: kv_valid here is None, a Python
+    # int (compile-time mask), or a traced scalar (SMEM input)
+    static_valid = kv_valid if isinstance(kv_valid, (int, np.integer)) else None
+    dynamic_valid = kv_valid is not None and static_valid is None
+    inputs, nv_specs = [q3, k3, v3], []
+    if dynamic_valid:
+        inputs.insert(0, jnp.asarray(kv_valid, jnp.int32).reshape(1, 1))
+        nv_specs = [
+            pl.BlockSpec(
+                (1, 1), lambda b, qi: (0, 0), memory_space=pltpu.SMEM
+            )
+        ]
+
+    grid = (B, q3.shape[1] // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_packed_kernel, scale=D**-0.5, num_heads=H, head_dim=D,
+            n_keys=Nk, dynamic_valid=dynamic_valid,
+            static_valid=static_valid, bounded=bounded,
+        ),
+        grid=grid,
+        in_specs=nv_specs + [
+            pl.BlockSpec((1, block_q, C), lambda b, qi: (b, qi, 0)),
+            pl.BlockSpec((1, Nk, C), lambda b, qi: (b, 0, 0)),
+            pl.BlockSpec((1, Nk, C), lambda b, qi: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, C), lambda b, qi: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(*inputs)
+
+    if pad_q:
+        out = out[:, :N]
+    return out.reshape(B, N, H, D)
+
+
+def flash_attention_packed(
+    q, k, v, block_q=None, kv_valid=None, bounded_logits=False,
+):
+    """Token-major packed-heads flash attention for short-sequence shapes
+    (frame / DINOv2 attention, Nk <= _PACKED_MAX_KEYS): reads q/k/v in
+    their natural (B, N, H*D) layout, eliminating the four head-major
+    relayout passes per attention. Differentiable — AD routes the forward
+    through the head-major kernel (see module comment)."""
+    if k.shape[1] > _PACKED_MAX_KEYS:
+        raise ValueError(
+            f"packed kernel requires Nk <= {_PACKED_MAX_KEYS}, "
+            f"got {k.shape[1]}"
+        )
+    if kv_valid is None:
+        return _packed_unmasked(q, k, v, block_q, bounded_logits)
+    if isinstance(kv_valid, (int, np.integer)):
+        # static valid-prefix count compiles into the kernel's mask
+        return _packed_static_masked(
+            q, k, v, block_q, int(kv_valid), bounded_logits
+        )
+    return _packed_masked(
+        q, k, v, jnp.asarray(kv_valid, jnp.int32), block_q, bounded_logits
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _packed_unmasked(q, k, v, block_q, bounded):
+    return _flash_packed_forward(q, k, v, block_q, bounded=bounded)
+
+
+def _packed_fwd(q, k, v, block_q, bounded):
+    out, lse = _flash_forward(
+        q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, return_lse=True,
+        bounded=bounded,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _packed_bwd(block_q, bounded, res, g):
+    q, k, v, o, lse = res
+    return _flash_backward(
+        q, k, v, o, g, lse, DEFAULT_BWD_BLOCK_Q, DEFAULT_BWD_BLOCK_K, bounded
+    )
+
+
+_packed_unmasked.defvjp(_packed_fwd, _packed_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_static_masked(q, k, v, block_q, kv_valid, bounded):
+    return _flash_packed_forward(
+        q, k, v, block_q, kv_valid=kv_valid, bounded=bounded
+    )
+
+
+def _packed_static_fwd(q, k, v, block_q, kv_valid, bounded):
+    out, lse = _flash_forward(
+        q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+        kv_valid=jnp.asarray(kv_valid, jnp.int32), return_lse=True,
+        bounded=bounded,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _packed_static_bwd(block_q, kv_valid, bounded, res, g):
+    q, k, v, o, lse = res
+    return _flash_backward(
+        q, k, v, o, g, lse, DEFAULT_BWD_BLOCK_Q, DEFAULT_BWD_BLOCK_K,
+        bounded, kv_valid=jnp.asarray(kv_valid, jnp.int32),
+    )
+
+
+_packed_static_masked.defvjp(_packed_static_fwd, _packed_static_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _packed_masked(q, k, v, kv_valid, block_q, bounded):
+    return _flash_packed_forward(
+        q, k, v, block_q, kv_valid=kv_valid, bounded=bounded
+    )
+
+
+def _packed_masked_fwd(q, k, v, kv_valid, block_q, bounded):
+    out, lse = _flash_forward(
+        q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, kv_valid=kv_valid,
+        return_lse=True, bounded=bounded,
+    )
+    return out, (q, k, v, kv_valid, out, lse)
+
+
+def _packed_masked_bwd(block_q, bounded, res, g):
+    import numpy as _np
+
+    q, k, v, kv_valid, o, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, o, g, lse, DEFAULT_BWD_BLOCK_Q, DEFAULT_BWD_BLOCK_K,
+        bounded, kv_valid=kv_valid,
+    )
+    return dq, dk, dv, _np.zeros((), jax.dtypes.float0)
+
+
+_packed_masked.defvjp(_packed_masked_fwd, _packed_masked_bwd)

@@ -64,13 +64,20 @@ def allgather_attention(
     spec = _qkv_spec(seq_axis)
 
     if kv_valid is None:
-        from omnivggt_tpu.ops.attention import resolve_impl
+        from omnivggt_tpu.ops.attention import packed_eligible, resolve_impl
 
         B, N, H, D = q.shape
         n_dev = mesh.shape[seq_axis]
+        # pre-gather int8 K only when the gathered call would actually run
+        # the head-major int8 kernel: if the packed token-major kernel is
+        # eligible for (local q, GLOBAL keys), the inner
+        # scaled_dot_product_attention dispatches packed-bf16 (which beats
+        # head-major int8 at those shapes) and would ignore the int8 grid —
+        # keeping this branch would silently change numerics vs the
+        # single-device path.
         if qk_int8 and resolve_impl(
             (B, max(N // n_dev, 1), H, D), impl
-        ) == "flash":
+        ) == "flash" and not packed_eligible((B, max(N // n_dev, 1), H, D), N):
             # pre-gather int8 K: each device quantises its LOCAL K shard
             # with pmax-GLOBAL per-head scales (== the scales of the
             # gathered array, so the int8 grid — and the output — is

@@ -693,3 +693,71 @@ def test_qlinear_int8_close_and_batched():
             assert got.dtype == want.dtype and got.shape == want.shape
             scale = np.abs(want).max()
             assert np.abs(got - want).max() < 0.03 * scale + 1e-4
+
+
+def test_flash_attention_packed_parity():
+    """Token-major packed-heads kernel vs XLA attention: unmasked, static
+    kv_valid, dynamic kv_valid, bounded and running-max softmax — plus a
+    ragged query count (pad rows sliced off)."""
+    from omnivggt_tpu.ops.pallas.flash_attention import flash_attention_packed
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(17)
+    B, N, H, D = 3, 107, 4, 16
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        for bounded in (False, True):
+            for kv in (None, 77, jnp.asarray(77, jnp.int32)):
+                out = np.asarray(
+                    flash_attention_packed(
+                        q, k, v, kv_valid=kv, bounded_logits=bounded
+                    )
+                )
+                kv_ref = int(kv) if kv is not None else None
+                ref = np.asarray(_attention_xla(q, k, v, kv_valid=kv_ref))
+                np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_attention_packed_gradient_routes_head_major():
+    """AD through the packed wrapper uses the head-major forward + fused
+    backward (the packed kernel is forward-only): gradients match XLA
+    autodiff, including with kv_valid masking."""
+    from omnivggt_tpu.ops.pallas.flash_attention import flash_attention_packed
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(19)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 96, 2, 32)).astype(np.float32))
+        for _ in range(3)
+    ]
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        for kv in (None, 70):
+            def loss_ref(q, k, v):
+                return jnp.sum(_attention_xla(q, k, v, kv_valid=kv) ** 2)
+
+            def loss_packed(q, k, v):
+                return jnp.sum(
+                    flash_attention_packed(q, k, v, kv_valid=kv) ** 2
+                )
+
+            g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+            g_pk = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+            for a, b in zip(g_ref, g_pk):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+                )

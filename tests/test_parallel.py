@@ -189,11 +189,16 @@ def test_sharded_int8_trunk_matches_single_device():
 def test_allgather_attention_qk_int8():
     """int8-qk flash under the allgather strategy (interpret-mode kernel):
     per-shard q scales keep the result at the 8-bit noise level of the
-    exact attention."""
+    exact attention. Packed dispatch is forced off: at this gathered key
+    count the packed token-major kernel is eligible and takes precedence
+    over qk_int8 (it is both faster and more accurate), which would turn
+    this into a bf16 test."""
     import functools
     from unittest import mock
 
     import jax.experimental.pallas as pl
+
+    import omnivggt_tpu.ops.attention as attn_mod
 
     mesh = make_mesh(data=1, seq=8)
     rng = np.random.default_rng(5)
@@ -204,15 +209,19 @@ def test_allgather_attention_qk_int8():
     ]
     ref = np.asarray(_attention_xla(q, k, v))
     orig = pl.pallas_call
+    # _sdpa_jit's trace cache is keyed on shapes/statics, not the module
+    # flag — clear it so the patched dispatch actually retraces
+    attn_mod._sdpa_jit.clear_cache()
     with mock.patch.object(
         pl, "pallas_call", functools.partial(orig, interpret=True)
-    ):
+    ), mock.patch.object(attn_mod, "_PACKED_ATTN", False):
         out = np.asarray(
             pattn.allgather_attention(
                 q, k, v, mesh, "seq", impl="flash", bounded_logits=True,
                 qk_int8=True,
             )
         )
+    attn_mod._sdpa_jit.clear_cache()
     d = np.max(np.abs(out - ref))
     assert 0 < d < 2e-2, d
 
@@ -222,7 +231,9 @@ def test_allgather_qk_int8_pregather_exactness():
     """The pre-gather int8 K path (local shard quantised with pmax-global
     scales, gathered int8 — half the K bytes on ICI) must be BIT-IDENTICAL
     to gather-then-quantise: the pmax of the shard-local per-head max-abs
-    IS the max-abs of the gathered array, so the int8 grid is the same."""
+    IS the max-abs of the gathered array, so the int8 grid is the same.
+    Packed dispatch is forced off (at this gathered key count it would
+    supersede qk_int8 on both sides and vacate the comparison)."""
     import functools
     from unittest import mock
 
@@ -230,6 +241,7 @@ def test_allgather_qk_int8_pregather_exactness():
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    import omnivggt_tpu.ops.attention as attn_mod
     from omnivggt_tpu.ops.attention import scaled_dot_product_attention
 
     mesh = make_mesh(data=1, seq=8)
@@ -252,9 +264,10 @@ def test_allgather_qk_int8_pregather_exactness():
         )
 
     orig = pl.pallas_call
+    attn_mod._sdpa_jit.clear_cache()
     with mock.patch.object(
         pl, "pallas_call", functools.partial(orig, interpret=True)
-    ):
+    ), mock.patch.object(attn_mod, "_PACKED_ATTN", False):
         old = np.asarray(
             shard_map(
                 inner_old, mesh=mesh, in_specs=(spec, spec, spec),
@@ -267,7 +280,52 @@ def test_allgather_qk_int8_pregather_exactness():
                 qk_int8=True,
             )
         )
+    attn_mod._sdpa_jit.clear_cache()
     np.testing.assert_array_equal(new, old)
+
+
+@needs_8dev
+def test_allgather_packed_eligible_matches_single_device():
+    """Gathered key counts within the packed kernel's whole-K VMEM budget
+    route the sharded allgather attention through the token-major packed
+    kernel (local q shard, FULL gathered K — eligibility must be judged on
+    the key length, not q's). qk_int8 is superseded consistently on both
+    the sharded and single-device paths, so they agree to fp32 noise."""
+    import functools
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    from omnivggt_tpu.ops.attention import scaled_dot_product_attention
+
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(11)
+    B, N, H, D = 1, 8 * 37, 2, 64
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    ]
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        single = np.asarray(
+            scaled_dot_product_attention(
+                q, k, v, impl="flash", bounded_logits=True, qk_int8=True
+            )
+        )
+        sharded = np.asarray(
+            pattn.allgather_attention(
+                q, k, v, mesh, "seq", impl="flash", bounded_logits=True,
+                qk_int8=True,
+            )
+        )
+    ref = np.asarray(_attention_xla(q, k, v))
+    # both must be the PACKED result: bf16-free fp32 kernel noise vs the
+    # exact attention, orders of magnitude below the int8 grid (~1e-2)
+    assert np.max(np.abs(single - ref)) < 2e-5
+    assert np.max(np.abs(sharded - ref)) < 2e-5
 
 
 @needs_8dev
