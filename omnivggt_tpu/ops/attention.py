@@ -66,6 +66,30 @@ def packed_eligible(q_shape, n_keys: int) -> bool:
     return _PACKED_ATTN and n_keys <= _PACKED_MAX_KEYS and D in (64, 128)
 
 
+# token-major STREAMING kernel for long (global-attention) flash shapes:
+# same relayout-elimination as the packed kernel, but the key axis streams
+# through VMEM blocks with the bounded fixed-max accumulation, so it serves
+# keys > _PACKED_MAX_KEYS. Bounded-only (the running-max variant would pay
+# per-head max state + rescale passes; the head-major kernel keeps that
+# fallback for uncertified checkpoints). OMNIVGGT_STREAM_ATTN=0 opts out.
+_STREAM_ATTN = os.environ.get("OMNIVGGT_STREAM_ATTN", "1") != "0"
+
+
+def stream_eligible(q_shape, n_keys: int, bounded: bool) -> bool:
+    """Whether the token-major streaming kernel serves this (q, k) pair.
+
+    Complements packed_eligible above the whole-key-axis VMEM budget; like
+    it, eligibility is judged on the KEY length (sharded allgather pairs a
+    local q shard with the full gathered K). D == 64 with an even head
+    count only: the kernel's grid runs over head PAIRS whose q/k lanes
+    form one aligned 128-lane tile of the token-major layout."""
+    H, D = q_shape[-2], q_shape[-1]
+    return (
+        _STREAM_ATTN and bounded and n_keys > _PACKED_MAX_KEYS
+        and D == 64 and H % 2 == 0
+    )
+
+
 def _attention_xla(q, k, v, kv_valid=None):
     """(B, N, H, D) full attention with fp32 softmax. kv_valid (optional
     int) masks keys at positions >= kv_valid — the valid prefix form used
@@ -185,6 +209,7 @@ def _sdpa_jit(
         from omnivggt_tpu.ops.pallas.flash_attention import (
             flash_attention,
             flash_attention_packed,
+            flash_attention_packed_stream,
         )
 
         if packed_eligible(q.shape, k.shape[1]):
@@ -194,6 +219,10 @@ def _sdpa_jit(
                 q, k, v,
                 kv_valid=kv_static if kv_static is not None else kv_valid,
                 bounded_logits=bounded_logits,
+            )
+        if stream_eligible(q.shape, k.shape[1], bounded_logits):
+            return flash_attention_packed_stream(
+                q, k, v, kv_valid=kv_valid, qk_int8=qk_int8
             )
         return flash_attention(
             q, k, v, kv_valid=kv_valid, bounded_logits=bounded_logits,

@@ -987,3 +987,398 @@ def _packed_masked_bwd(block_q, bounded, res, g):
 
 
 _packed_masked.defvjp(_packed_masked_fwd, _packed_masked_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed-heads (token-major) STREAMING forward: global-attention shapes
+# ---------------------------------------------------------------------------
+#
+# Extends the packed-heads idea to sequences whose key axis does NOT fit one
+# VMEM block (global attention: N = S*1374, e.g. 10992 at S=8): q/k/v stay in
+# their natural token-major (B, N, H*D) layout and the kernel streams key
+# blocks with the bounded fixed-max accumulation (acc carried in VMEM
+# scratch across the innermost key grid axis).
+#
+# The grid runs over HEAD PAIRS (B * H/2): at D=64 a pair of adjacent heads
+# spans exactly one 128-lane tile of the token-major (B, N, H*D) array, so
+# every BlockSpec slices lane-tile-aligned (1, block, 128) windows straight
+# out of the qkv matmul's output — no HBM relayout anywhere — while the
+# per-invocation working set stays as small as the head-major kernel's
+# (one pair's lanes, NOT the full 1024-lane channel axis). That small
+# footprint is what buys the big (768, 2048) blocks: a whole-C variant was
+# capped at (256, 512) by VMEM and re-streamed K/V 43x per layer at S=8
+# (~2 GB of HBM traffic) — measured SLOWER than head-major despite saving
+# the relayouts. Don't go back.
+#
+# What it eliminates per global-attention layer vs the head-major path:
+#   - the four (B, N, H, D) <-> (BH, N, D) HBM relayout passes,
+#   - the out-of-kernel q quantisation passes (q is quantised in-kernel at
+#     ki == 0 from a per-lane inverse-scale row; k is quantised token-major
+#     outside — a fused elementwise pass with NO transpose — and its int8
+#     DMA blocks are half the bytes),
+#   - the head-major packed-v build: the row-sum fold column lives in an
+#     extended (B, Nk, H*128) V built with ONE concatenate (v | ones | 0),
+#     the same bytes the head-major kernel's 64->128 lane fold pads to.
+#
+# BOUNDED-ONLY by design: the serving configs that reach global attention all
+# certify the qk-norm logit bound (bounded_attn_logits), and the running-max
+# variant would keep per-pair max state + an acc rescale pass per block —
+# the head-major kernel already serves that fallback. Forward-only for the
+# same reason as the packed kernel: AD routes through the head-major kernel
+# whose fused backward needs head-major residuals anyway.
+
+DEFAULT_STREAM_BLOCK_Q = 768
+DEFAULT_STREAM_BLOCK_K = 2048
+
+
+def _flash_packed_stream_kernel(
+    *refs, num_heads, head_dim, scale, n_keys, block_k, dynamic_valid,
+    qk_int8,
+):
+    if qk_int8:
+        c_ref, *refs = refs  # (B, H) fp32 SMEM: per-head dequant scales
+    if dynamic_valid:
+        nv_ref, *refs = refs  # (1, 1) int32 SMEM: valid-key count
+    else:
+        nv_ref = None
+    if qk_int8:
+        qinv_ref, q_ref, k_ref, v_ref, o_ref, qs0_scr, qs1_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, qs0_scr, qs1_scr, acc_scr = refs
+    npr = num_heads // 2
+    b = pl.program_id(0) // npr
+    pr = pl.program_id(0) % npr
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        if qk_int8:
+            # quantise the q tile in-kernel: ONE pass over q per layer
+            # (the q block is revisited across ki but this runs at ki == 0
+            # only), against per-head scales pre-broadcast to a 128-lane
+            # inverse-scale row. |q|/scale <= 127 exactly for rows the
+            # scale saw; rows >= kv_valid were excluded from the scale and
+            # must clip.
+            r = jnp.round(q_ref[0].astype(jnp.float32) * qinv_ref[0])
+            if dynamic_valid:
+                r = jnp.clip(r, -127.0, 127.0)
+        else:
+            # fold the softmax scale into q once (one 128-lane pass, not
+            # per-head Nk-wide passes over score tiles)
+            r = q_ref[0].astype(jnp.float32) * scale
+        # TWO zero-padded q tiles, [q_h0 | 0] and [0 | q_h1]: each head's
+        # score matmul then contracts the FULL 128-lane pair tile against
+        # the UNSLICED k block — the zeroed half kills the cross-head
+        # terms, and a 128-deep contraction costs the same MXU time as a
+        # 64-deep one (the systolic array is 128 deep either way). The
+        # alternative — slicing 64 lanes out of packed 128-lane operands
+        # per matmul — pays a cross-lane extraction pass on BOTH operands
+        # of EVERY score matmul (measured ~11% slower end-to-end).
+        first = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 2 * head_dim), 1
+        ) < head_dim
+        zero = jnp.zeros_like(r)
+        qs0_scr[:] = jnp.where(first, r, zero).astype(qs0_scr.dtype)
+        qs1_scr[:] = jnp.where(first, zero, r).astype(qs1_scr.dtype)
+
+    k = k_ref[0]  # (bk, 128) int8 (qk_int8) or bf16: this pair's k lanes
+    v = v_ref[0]  # (bk, 256): this pair's extended-v lanes
+
+    def body(masked):
+        if masked:
+            nv = nv_ref[0, 0] if dynamic_valid else n_keys
+            key_idx = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            invalid = key_idx >= nv  # (1, bk), broadcast over query rows
+        for h, qs_scr in ((0, qs0_scr), (1, qs1_scr)):
+            if qk_int8:
+                s = jax.lax.dot_general(
+                    qs_scr[:], k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * c_ref[b, 2 * pr + h]  # (bq, bk)
+            else:
+                s = jax.lax.dot_general(
+                    qs_scr[:], k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            if masked:
+                s = jnp.where(invalid, _NEG_INF, s)
+            # bounded fixed-max softmax: clamp fuses into the exp chain
+            p = jnp.exp(jnp.minimum(s, _BOUNDED_CLAMP))
+            # this head's extended-v lanes: [v_h | ones | zeros] — lane D
+            # of `both` is rowsum(p), the folded softmax denominator
+            both = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, h * _LANES:(h + 1) * _LANES],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, 128)
+            acc_scr[:, h * _LANES:(h + 1) * _LANES] += both
+
+    # mask invalid keys: static ragged tail only on the final block (the
+    # select pass over every (bq, bk) tile is real VPU cost); dynamic
+    # kv_valid masks every block against the runtime scalar
+    if dynamic_valid:
+        body(True)
+    elif n_keys % block_k != 0:
+        @pl.when(ki == nk - 1)
+        def _():
+            body(True)
+
+        @pl.when(ki != nk - 1)
+        def _():
+            body(False)
+    else:
+        body(False)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[0] = jnp.concatenate(
+            [
+                acc_scr[:, h * _LANES:h * _LANES + head_dim]
+                / acc_scr[:, h * _LANES + head_dim:h * _LANES + head_dim + 1]
+                for h in range(2)
+            ],
+            axis=-1,
+        ).astype(o_ref.dtype)
+
+
+def quant_k_token_major(k, amax_reduce=None):
+    """(B, Nk, H, D) float -> ((B, Nk, H*D) int8 token-major, (B, H) fp32
+    per-head scales): the stream kernel's K quantisation, exposed so the
+    sharded allgather strategy can quantise LOCAL K shards (with a pmax
+    amax_reduce making the scales — and so the int8 grid — identical to
+    quantising the gathered array) and gather int8: half the K bytes on
+    ICI, 1/n_dev the quant work. A cross-device max only grows the scale,
+    so no clip is needed."""
+    B, Nk, H, D = k.shape
+    amax = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=(1, 3))  # (B, H)
+    if amax_reduce is not None:
+        amax = amax_reduce(amax)
+    k_scale = jnp.maximum(amax, 1e-30) / 127.0
+    kinv = jnp.repeat(1.0 / k_scale, D, axis=-1)[:, None, :]  # (B, 1, C)
+    k8 = jnp.round(k.reshape(B, Nk, H * D).astype(jnp.float32) * kinv)
+    return k8.astype(jnp.int8), k_scale
+
+
+def _flash_packed_stream_forward(
+    q, k, v, block_q, block_k, kv_valid=None, qk_int8=False, k_quant=None
+):
+    B, N, H, D = q.shape
+    C = H * D
+    scale = D**-0.5
+    dynamic_valid = kv_valid is not None
+    if D != 64 or H % 2:
+        raise ValueError(
+            "the streaming kernel packs head PAIRS into 128-lane tiles: "
+            f"D must be 64 and H even, got D={D}, H={H} (stream_eligible "
+            "gates dispatch accordingly)"
+        )
+
+    if k_quant is not None:
+        # pre-quantised token-major K from quant_k_token_major (the sharded
+        # allgather pre-gather path); same contract as the head-major
+        # kernel's k_quant
+        if not qk_int8 or dynamic_valid:
+            raise ValueError("k_quant requires qk_int8 and no kv_valid")
+        k3, k_scale = k_quant
+        Nk = k3.shape[1]
+    else:
+        Nk = k.shape[1]
+        # contiguous view of the token-major activation — no data movement
+        k3 = k.reshape(B, Nk, C)
+    q3 = q.reshape(B, N, C)
+    # extended V: [v_h | ones | zeros] per head, 128 lanes each — the
+    # ones column at lane D folds the softmax row sum into the p @ v
+    # matmul (same padded bytes the head-major kernel's 64->128 lane fold
+    # streams). ONE concatenate so XLA emits a single fused write; a
+    # per-head in-kernel tail concat was 16 VPU copies per key block.
+    ve = jnp.concatenate(
+        [
+            v.astype(v.dtype),
+            jnp.ones((B, Nk, H, 1), v.dtype),
+            jnp.zeros((B, Nk, H, _LANES - D - 1), v.dtype),
+        ],
+        axis=-1,
+    ).reshape(B, Nk, H * _LANES)
+
+    block_q = _pick_block(N, block_q or DEFAULT_STREAM_BLOCK_Q, 8)
+    block_k = _pick_block(Nk, block_k or DEFAULT_STREAM_BLOCK_K, 128)
+
+    inputs, pre_specs = [], []
+    if qk_int8:
+        # per-head symmetric max-abs scales; rows >= kv_valid excluded (and
+        # clipped after round) exactly like _quant_per_head — bucketed
+        # serving pads frames with garbage activations
+        qa = jnp.abs(q.astype(jnp.float32))
+        if dynamic_valid:
+            qa = jnp.where(
+                jnp.arange(N)[None, :, None, None] < kv_valid, qa, 0.0
+            )
+        q_scale = jnp.maximum(jnp.max(qa, axis=(1, 3)), 1e-30) / 127.0
+        if k_quant is None:
+            ka = jnp.abs(k.astype(jnp.float32))
+            if dynamic_valid:
+                ka = jnp.where(
+                    jnp.arange(Nk)[None, :, None, None] < kv_valid, ka, 0.0
+                )
+            k_scale = jnp.maximum(jnp.max(ka, axis=(1, 3)), 1e-30) / 127.0
+            kinv = jnp.repeat(1.0 / k_scale, D, axis=-1)[:, None, :]
+            # k quantises token-major OUTSIDE (one fused elementwise pass,
+            # no transpose; q quantises in-kernel at ki == 0) — int8 k
+            # blocks then stream at half the DMA bytes
+            k8 = jnp.round(k3.astype(jnp.float32) * kinv)
+            if dynamic_valid:
+                k8 = jnp.clip(k8, -127.0, 127.0)
+            k3 = k8.astype(jnp.int8)
+        c = (q_scale * k_scale * scale).astype(jnp.float32)  # (B, H)
+        # per-lane inverse-scale rows: head h's scale spans its D lanes
+        qinv = jnp.repeat(1.0 / q_scale, D, axis=-1)[:, None, :]  # (B, 1, C)
+        inputs.append(c)
+        pre_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    npr = H // 2  # head pairs: grid axis 0 spans B * npr, b-major
+    if dynamic_valid:
+        inputs.append(jnp.asarray(kv_valid, jnp.int32).reshape(1, 1))
+        pre_specs.append(
+            pl.BlockSpec((1, 1), lambda i, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+    if qk_int8:
+        inputs.append(qinv)
+        pre_specs.append(
+            pl.BlockSpec(
+                (1, 1, 2 * D), lambda i, qi, ki: (i // npr, 0, i % npr)
+            )
+        )
+
+    pad_q = (-N) % block_q
+    pad_k = (-Nk) % block_k
+    if pad_q:
+        q3 = jnp.pad(q3, ((0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k3 = jnp.pad(k3, ((0, 0), (0, pad_k), (0, 0)))
+        ve = jnp.pad(ve, ((0, 0), (0, pad_k), (0, 0)))
+    inputs += [q3, k3, ve]
+
+    grid = (B * npr, q3.shape[1] // block_q, k3.shape[1] // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_packed_stream_kernel, num_heads=H, head_dim=D,
+            scale=scale, n_keys=Nk, block_k=block_k,
+            dynamic_valid=dynamic_valid, qk_int8=qk_int8,
+        ),
+        grid=grid,
+        in_specs=pre_specs + [
+            pl.BlockSpec(
+                (1, block_q, 2 * D), lambda i, qi, ki: (i // npr, qi, i % npr)
+            ),
+            pl.BlockSpec(
+                (1, block_k, 2 * D), lambda i, qi, ki: (i // npr, ki, i % npr)
+            ),
+            pl.BlockSpec(
+                (1, block_k, 2 * _LANES),
+                lambda i, qi, ki: (i // npr, ki, i % npr),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 2 * D), lambda i, qi, ki: (i // npr, qi, i % npr)
+        ),
+        out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
+        scratch_shapes=[
+            # two zero-padded q tiles ([q_h0 | 0], [0 | q_h1]): full-lane
+            # score-matmul operands, no in-kernel lane extraction
+            pltpu.VMEM((block_q, 2 * D), jnp.int8 if qk_int8 else v.dtype),
+            pltpu.VMEM((block_q, 2 * D), jnp.int8 if qk_int8 else v.dtype),
+            pltpu.VMEM((block_q, 2 * _LANES), jnp.float32),  # acc (+ l fold)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*inputs)
+
+    if pad_q:
+        out = out[:, :N]
+    return out.reshape(B, N, H, D)
+
+
+def flash_attention_packed_stream(
+    q, k, v, block_q=None, block_k=None, kv_valid=None, qk_int8=False,
+    k_quant=None,
+):
+    """Token-major streaming flash attention for long (global-attention)
+    sequences under the certified logit bound (bounded softmax only — the
+    dispatcher requires bounded_logits; see the section comment).
+
+    qk_int8 runs the score matmuls W8A8 on the 2x-rate int8 MXU with
+    per-head max-abs scales — q quantised in-kernel, k quantised token-major
+    outside (serving-only forward: no VJP, mirroring flash_attention's
+    qk_int8 contract). k_quant optionally supplies K pre-quantised by
+    quant_k_token_major (the sharded pre-gather path). The bf16 path is
+    differentiable: AD routes the forward through the head-major kernel
+    whose fused backward needs head-major residuals anyway."""
+    if qk_int8:
+        return _flash_packed_stream_forward(
+            q, k, v, block_q, block_k, kv_valid=kv_valid, qk_int8=True,
+            k_quant=k_quant,
+        )
+    if k_quant is not None:
+        raise ValueError("k_quant requires qk_int8")
+    if kv_valid is None:
+        return _stream_unmasked(q, k, v, block_q, block_k)
+    return _stream_masked(
+        q, k, v, jnp.asarray(kv_valid, jnp.int32), block_q, block_k
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _stream_unmasked(q, k, v, block_q, block_k):
+    return _flash_packed_stream_forward(q, k, v, block_q, block_k)
+
+
+def _stream_fwd(q, k, v, block_q, block_k):
+    out, lse = _flash_forward(
+        q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, return_lse=True,
+        bounded=True,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _stream_bwd(block_q, block_k, res, g):
+    q, k, v, o, lse = res
+    return _flash_backward(
+        q, k, v, o, g, lse, DEFAULT_BWD_BLOCK_Q, DEFAULT_BWD_BLOCK_K, True
+    )
+
+
+_stream_unmasked.defvjp(_stream_fwd, _stream_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _stream_masked(q, k, v, kv_valid, block_q, block_k):
+    return _flash_packed_stream_forward(
+        q, k, v, block_q, block_k, kv_valid=kv_valid
+    )
+
+
+def _stream_masked_fwd(q, k, v, kv_valid, block_q, block_k):
+    out, lse = _flash_forward(
+        q, k, v, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, kv_valid=kv_valid,
+        return_lse=True, bounded=True,
+    )
+    return out, (q, k, v, kv_valid, out, lse)
+
+
+def _stream_masked_bwd(block_q, block_k, res, g):
+    q, k, v, kv_valid, o, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, o, g, lse, DEFAULT_BWD_BLOCK_Q, DEFAULT_BWD_BLOCK_K,
+        True, kv_valid=kv_valid,
+    )
+    return dq, dk, dv, np.zeros((), jax.dtypes.float0)
+
+
+_stream_masked.defvjp(_stream_masked_fwd, _stream_masked_bwd)

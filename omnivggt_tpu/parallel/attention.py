@@ -64,17 +64,51 @@ def allgather_attention(
     spec = _qkv_spec(seq_axis)
 
     if kv_valid is None:
-        from omnivggt_tpu.ops.attention import packed_eligible, resolve_impl
+        from omnivggt_tpu.ops.attention import (
+            packed_eligible,
+            resolve_impl,
+            stream_eligible,
+        )
 
         B, N, H, D = q.shape
         n_dev = mesh.shape[seq_axis]
+        local_shape = (B, max(N // n_dev, 1), H, D)
         # pre-gather int8 K only when the gathered call would actually run
-        # the head-major int8 kernel: if the packed token-major kernel is
-        # eligible for (local q, GLOBAL keys), the inner
-        # scaled_dot_product_attention dispatches packed-bf16 (which beats
-        # head-major int8 at those shapes) and would ignore the int8 grid —
-        # keeping this branch would silently change numerics vs the
-        # single-device path.
+        # an int8 kernel: if the packed token-major kernel is eligible for
+        # (local q, GLOBAL keys), the inner scaled_dot_product_attention
+        # dispatches packed-bf16 (which beats head-major int8 at those
+        # shapes) and would ignore the int8 grid — keeping this branch
+        # would silently change numerics vs the single-device path.
+        if qk_int8 and resolve_impl(
+            local_shape, impl
+        ) == "flash" and stream_eligible(local_shape, N, bounded_logits):
+            # token-major pre-gather for the streaming kernel: each device
+            # quantises its LOCAL K shard token-major with pmax-global
+            # per-head scales (== the scales of the gathered array, so the
+            # int8 grid — and the output — is bit-identical to quantising
+            # K after the gather), then gathers int8: half the K bytes on
+            # ICI and 1/n_dev the quant work. V stays bf16 (the kernel's
+            # p @ v consumes bf16; the fold column is built by the kernel
+            # wrapper from the gathered V).
+            from omnivggt_tpu.ops.pallas.flash_attention import (
+                flash_attention_packed_stream,
+                quant_k_token_major,
+            )
+
+            def inner_stream_q8(q, k, v):
+                k8, k_s = quant_k_token_major(
+                    k, amax_reduce=lambda a: jax.lax.pmax(a, seq_axis)
+                )
+                k8_full = jax.lax.all_gather(k8, seq_axis, axis=1, tiled=True)
+                v_full = jax.lax.all_gather(v, seq_axis, axis=1, tiled=True)
+                return flash_attention_packed_stream(
+                    q, None, v_full, qk_int8=True, k_quant=(k8_full, k_s)
+                )
+
+            return shard_map(
+                inner_stream_q8, mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(q, k, v)
         if qk_int8 and resolve_impl(
             (B, max(N // n_dev, 1), H, D), impl
         ) == "flash" and not packed_eligible((B, max(N // n_dev, 1), H, D), N):

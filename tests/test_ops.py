@@ -761,3 +761,86 @@ def test_flash_attention_packed_gradient_routes_head_major():
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
                 )
+
+
+def test_flash_attention_packed_stream_parity():
+    """Token-major STREAMING kernel (global-attention shapes) vs XLA
+    attention: unmasked with a ragged key axis, dynamic kv_valid, and the
+    int8 score-matmul variant (bounded softmax only — the kernel's
+    contract)."""
+    from omnivggt_tpu.ops.pallas.flash_attention import (
+        _flash_packed_stream_forward,
+        flash_attention_packed_stream,
+    )
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(23)
+    B, N, H, D = 2, 300, 4, 64  # 300 % 128 != 0: ragged final key block
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        for kv in (None, 211):
+            ref = np.asarray(_attention_xla(q, k, v, kv_valid=kv))
+            kv_t = jnp.asarray(kv, jnp.int32) if kv is not None else None
+            out = np.asarray(
+                flash_attention_packed_stream(q, k, v, 64, 128, kv_valid=kv_t)
+            )
+            np.testing.assert_allclose(out, ref, atol=2e-5)
+            out8 = np.asarray(
+                _flash_packed_stream_forward(
+                    q, k, v, 64, 128, kv_valid=kv_t, qk_int8=True
+                )
+            )
+            # int8 grid: per-head max-abs scales bound the quantisation
+            # noise; same tolerance class as the head-major int8 tests
+            np.testing.assert_allclose(out8, ref, atol=5e-3)
+            # the valid-prefix contract: masked rows == dropping the tail
+            if kv is not None:
+                ref_drop = np.asarray(_attention_xla(q, k[:, :kv], v[:, :kv]))
+                np.testing.assert_allclose(out, ref_drop, atol=2e-5)
+
+
+def test_flash_attention_packed_stream_gradient_routes_head_major():
+    """AD through the streaming wrapper uses the head-major forward + fused
+    backward (the streaming kernel is forward-only): gradients match XLA
+    autodiff, including with kv_valid masking."""
+    from omnivggt_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed_stream,
+    )
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(29)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 160, 2, 64)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        for kv in (None, 130):
+            def loss_ref(q, k, v):
+                return jnp.sum(_attention_xla(q, k, v, kv_valid=kv) ** 2)
+
+            def loss_stream(q, k, v):
+                return jnp.sum(
+                    flash_attention_packed_stream(q, k, v, kv_valid=kv) ** 2
+                )
+
+            g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+            g_st = jax.grad(loss_stream, argnums=(0, 1, 2))(q, k, v)
+            for a, b in zip(g_ref, g_st):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
+                )

@@ -285,6 +285,58 @@ def test_allgather_qk_int8_pregather_exactness():
 
 
 @needs_8dev
+def test_allgather_stream_pregather_exactness():
+    """Above the packed kernel's key budget (gathered keys > 2048, bounded)
+    the int8 allgather strategy pre-gathers TOKEN-MAJOR int8 K for the
+    streaming kernel: local shards quantised with pmax-global per-head
+    scales must be BIT-IDENTICAL to gather-then-quantise (the single-device
+    stream int8 dispatch), and both sit at int8 noise from exact
+    attention."""
+    import functools
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    from omnivggt_tpu.ops.attention import (
+        scaled_dot_product_attention,
+        stream_eligible,
+    )
+
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(13)
+    B, N, H, D = 1, 8 * 384, 2, 64  # gathered keys 3072 > _PACKED_MAX_KEYS
+    assert stream_eligible((B, N // 8, H, D), N, True)
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32)) * 0.5
+        for _ in range(3)
+    ]
+
+    orig = pl.pallas_call
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        single = np.asarray(
+            scaled_dot_product_attention(
+                q, k, v, impl="flash", bounded_logits=True, qk_int8=True
+            )
+        )
+        sharded = np.asarray(
+            pattn.allgather_attention(
+                q, k, v, mesh, "seq", impl="flash", bounded_logits=True,
+                qk_int8=True,
+            )
+        )
+    ref = np.asarray(_attention_xla(q, k, v))
+    # int8-noise from exact attention on both paths...
+    assert 0 < np.max(np.abs(single - ref)) < 2e-2
+    assert 0 < np.max(np.abs(sharded - ref)) < 2e-2
+    # ...and the K grids agree bit-exactly (pmax-global scales == gathered
+    # scales); the only sharded-vs-single difference is the shard-local q
+    # scales, whose effect stays inside the int8 noise band
+    np.testing.assert_allclose(sharded, single, atol=2e-2)
+
+
+@needs_8dev
 def test_allgather_packed_eligible_matches_single_device():
     """Gathered key counts within the packed kernel's whole-K VMEM budget
     route the sharded allgather attention through the token-major packed
