@@ -49,6 +49,22 @@ import numpy as np
 ROOFLINE_FLOPS = 197e12
 
 
+def _dispatch_modes():
+    """Resolved kernel-dispatch knobs, recorded so the artifact identifies
+    the code path it ran (the round-4 stream-kernel regression was invisible
+    in BENCH_r04.json because the modes block only named quant/dtype modes).
+    No dispatch-default change lands without a paired A/B in the commit."""
+    from omnivggt_tpu.ops import attention, layers
+
+    return {
+        "packed_attn": attention._PACKED_ATTN,
+        "stream_attn": attention._STREAM_ATTN,
+        "flash_max_rows": attention._FLASH_MAX_ROWS,
+        "epilogue_barrier": layers._EPILOGUE_BARRIER,
+        "qkv_barrier": layers._QKV_BARRIER,
+    }
+
+
 def _measure(fwd, params, cfg, S, H, W, iters):
     """Compile + time `iters` forwards; returns (views/sec, mfu)."""
     import jax.numpy as jnp
@@ -161,6 +177,7 @@ def main():
             "head_quant": cfg.head_quant,
             "weights": "random-init",
             "provenance": provenance,
+            "dispatch": _dispatch_modes(),
         },
     }
 

@@ -297,6 +297,7 @@ def test_allgather_stream_pregather_exactness():
 
     import jax.experimental.pallas as pl
 
+    from omnivggt_tpu.ops import attention as attn_mod
     from omnivggt_tpu.ops.attention import (
         scaled_dot_product_attention,
         stream_eligible,
@@ -305,16 +306,20 @@ def test_allgather_stream_pregather_exactness():
     mesh = make_mesh(data=1, seq=8)
     rng = np.random.default_rng(13)
     B, N, H, D = 1, 8 * 384, 2, 64  # gathered keys 3072 > _PACKED_MAX_KEYS
-    assert stream_eligible((B, N // 8, H, D), N, True)
     q, k, v = [
         jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32)) * 0.5
         for _ in range(3)
     ]
 
     orig = pl.pallas_call
+    # the stream kernel is default-OFF (loses to head-major int8 on-chip,
+    # round-5 measurement) — opt in for the duration of this parity test;
+    # clear the jit cache on both sides so the dispatch re-resolves
+    attn_mod._sdpa_jit.clear_cache()
     with mock.patch.object(
         pl, "pallas_call", functools.partial(orig, interpret=True)
-    ):
+    ), mock.patch.object(attn_mod, "_STREAM_ATTN", True):
+        assert stream_eligible((B, N // 8, H, D), N, True)
         single = np.asarray(
             scaled_dot_product_attention(
                 q, k, v, impl="flash", bounded_logits=True, qk_int8=True
@@ -326,6 +331,7 @@ def test_allgather_stream_pregather_exactness():
                 qk_int8=True,
             )
         )
+    attn_mod._sdpa_jit.clear_cache()
     ref = np.asarray(_attention_xla(q, k, v))
     # int8-noise from exact attention on both paths...
     assert 0 < np.max(np.abs(single - ref)) < 2e-2
