@@ -611,16 +611,17 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
     concurrent compatible requests into batched forwards (see Batcher);
     `request_timeout_s` bounds every inference dispatch — a wedged backend
     returns 503 instead of hanging the connection. `warmup_frame_counts`
-    pre-compiles those buckets at `warmup_hw` BEFORE the port binds, so no
-    real caller pays the minutes-long first-compile (and so
+    pre-compiles those buckets at `warmup_hw` before traffic is accepted,
+    so no real caller pays the minutes-long first-compile (and so
     `request_timeout_s` can be set near steady-state latency rather than
-    above compile time). Warmup covers single-scene (B=1) executables;
-    deployments batching heavily should also call session.warmup with the
-    expected batch_sizes/modalities."""
-    if warmup_frame_counts:
-        t0 = time.time()
-        keys = session.warmup(frame_counts=warmup_frame_counts, hw=warmup_hw)
-        print(f"warmup: {len(keys)} executables compiled in {time.time()-t0:.1f}s")
+    above compile time). The port binds and `/healthz` answers BEFORE
+    warmup runs — it reports `{"status": "warming", "ready": false}` (200)
+    for the whole compile window, so orchestrator liveness/startup probes
+    see the process alive instead of killing it mid-compile; inference
+    POSTs get 503 until warmup finishes. Warmup covers single-scene (B=1)
+    executables; deployments batching heavily should also call
+    session.warmup with the expected batch_sizes/modalities."""
+    warming = {"active": bool(warmup_frame_counts)}
     batcher = (
         Batcher(session, max_batch=max_batch, window_ms=batch_window_ms)
         if batch_window_ms > 0
@@ -661,10 +662,25 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
             if self.path.rstrip("/") == "/healthz" or self.path == "/":
                 with session._lock:  # _execute inserts concurrently
                     compiled = [str(k) for k in session._jitted]
+                if warming["active"]:
+                    # the device is held by warmup compiles — a liveness
+                    # probe now would time out and misreport "wedged";
+                    # report alive-but-not-ready instead (200 so startup
+                    # probes don't kill the process mid-compile)
+                    body = json.dumps(
+                        {"status": "warming", "ready": False,
+                         "buckets": session.buckets,
+                         "batching": batcher is not None,
+                         "request_timeout_s": request_timeout_s,
+                         "compiled": compiled}
+                    ).encode()
+                    self._send(200, body, "application/json")
+                    return
                 liveness = probe.status()
                 body = json.dumps(
                     {"status": "ok" if liveness["backend"] != "wedged"
                      else "degraded",
+                     "ready": liveness["backend"] != "wedged",
                      "buckets": session.buckets,
                      "batching": batcher is not None,
                      "request_timeout_s": request_timeout_s,
@@ -682,6 +698,15 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
                 self._send(404, b"{}", "application/json")
                 return
             if not self._authed():
+                return
+            if warming["active"]:
+                # don't queue traffic behind the warmup compiles — the
+                # request would wait minutes and then likely blow its
+                # deadline anyway; tell the caller to retry after warmup
+                self._send(
+                    503, b'{"error": "warming up"}', "application/json",
+                    {"Retry-After": "30"},
+                )
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -728,16 +753,28 @@ def serve(session: InferenceSession, port: int = 8000, background: bool = False,
     ThreadingTCPServer.allow_reuse_address = True  # survive TIME_WAIT restarts
     httpd = ThreadingTCPServer(("0.0.0.0", port), Handler)
     httpd.daemon_threads = True
+    # bind + serve /healthz BEFORE warmup so startup probes see the process
+    # alive through the minutes-long compile window (warming=True above
+    # gates both the probe response and inference traffic until it clears)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
     print(
         f"inference server on :{httpd.server_address[1]} "
         "(POST /infer, POST /infer_glb, GET /healthz)"
     )
+    if warmup_frame_counts:
+        t0 = time.time()
+        keys = session.warmup(frame_counts=warmup_frame_counts, hw=warmup_hw)
+        print(
+            f"warmup: {len(keys)} executables compiled in "
+            f"{time.time() - t0:.1f}s"
+        )
+        warming["active"] = False
     if background:
-        t = threading.Thread(target=httpd.serve_forever, daemon=True)
-        t.start()
         return httpd, t
     try:
-        httpd.serve_forever()
+        while t.is_alive():
+            t.join(timeout=1.0)
     except KeyboardInterrupt:
         httpd.shutdown()
     return httpd, None

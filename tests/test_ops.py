@@ -726,6 +726,23 @@ def test_flash_attention_packed_parity():
                 ref = np.asarray(_attention_xla(q, k, v, kv_valid=kv_ref))
                 np.testing.assert_allclose(out, ref, atol=2e-5)
 
+    # D=128 exercises the non-fold branch (head_dim == lane tile: separate
+    # p@v matmul + explicit row sum instead of the ones-column fold), which
+    # packed_eligible admits but the D<128 cases above never reach
+    q, k, v = [
+        jnp.asarray(rng.normal(size=(1, 45, 2, 128)).astype(np.float32))
+        for _ in range(3)
+    ]
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        for bounded in (False, True):
+            out = np.asarray(
+                flash_attention_packed(q, k, v, bounded_logits=bounded)
+            )
+            ref = np.asarray(_attention_xla(q, k, v))
+            np.testing.assert_allclose(out, ref, atol=2e-5)
+
 
 def test_flash_attention_packed_gradient_routes_head_major():
     """AD through the packed wrapper uses the head-major forward + fused

@@ -501,3 +501,83 @@ def test_warmup_modalities_and_batch_sizes():
         camera_gt_index=[0], depth_gt_index=[0],
     )
     assert len(session._jitted) == 2  # still only the warmed executables
+
+
+def test_healthz_answers_before_warmup_finishes():
+    """The port binds and /healthz reports alive-but-warming (200) for the
+    whole warmup compile window, so orchestrator startup probes don't kill
+    the process mid-compile; inference POSTs 503 until warmup clears, and
+    after it the probe flips to ok/ready."""
+    import threading
+
+    session = InferenceSession(
+        OmniVGGT(tiny_test_config()), buckets=(2,), pad_mode="exact"
+    )
+    release = threading.Event()
+    real_warmup = session.warmup
+
+    def slow_warmup(**kw):
+        assert release.wait(30.0)
+        return real_warmup(**kw)
+
+    session.warmup = slow_warmup
+
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+
+    result = {}
+
+    def run():
+        result["ret"] = serve(
+            session, port=port, background=True, warmup_frame_counts=(2,)
+        )
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        # poll until the socket accepts (bind happens before warmup)
+        deadline = 10.0
+        import time as _time
+
+        t0 = _time.time()
+        health = None
+        while _time.time() - t0 < deadline:
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    health = json.loads(r.read())
+                break
+            except (urllib.error.URLError, ConnectionError):
+                _time.sleep(0.05)
+        assert health is not None, "port never bound during warmup"
+        assert health["status"] == "warming" and health["ready"] is False
+
+        buf = io.BytesIO()
+        rng = np.random.default_rng(0)
+        np.savez(buf, images=rng.uniform(size=(2, 28, 28, 3)).astype(np.float32))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/infer", data=buf.getvalue(),
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=10)
+        assert exc.value.code == 503
+        assert "warming" in json.loads(exc.value.read())["error"]
+    finally:
+        release.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    httpd, _ = result["ret"]
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["ready"] is True
+        # warmed executable serves traffic normally now
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+    finally:
+        httpd.shutdown()
