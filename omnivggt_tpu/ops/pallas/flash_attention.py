@@ -245,48 +245,14 @@ def _quant_per_head(x, valid=None, amax_reduce=None):
     return x8.astype(jnp.int8), scale[:, :, 0]
 
 
-def _quant_per_head_native(x, valid=None):
-    """(B, N, H, D) float -> ((B, N, H, D) int8, (BH, 1) fp32 scales): the
-    SAME symmetric per-head max-abs grid as _quant_per_head — max, divide
-    and round are layout-invariant, so scales and int8 values are
-    bit-identical — but computed in the token-major native layout, before
-    the head-major transpose. That lets XLA fuse the amax reduce with the
-    rope/qk-norm producer pass and ride the int8 cast on the transpose
-    itself (half the relayout write bytes); the standalone post-transpose
-    quant passes measured ~6 ms of the S=8 forward (round-4 trace).
-
-    valid semantics match _quant_per_head (rows >= valid excluded from the
-    scales and clipped after round)."""
-    B, N, H, D = x.shape
-    xf = x.astype(jnp.float32)
-    xa = jnp.abs(xf)
-    if valid is not None:
-        row = jnp.arange(N)[None, :, None, None]
-        xa = jnp.where(row < valid, xa, 0.0)
-    amax = jnp.max(xa, axis=(1, 3))  # (B, H)
-    scale = jnp.maximum(amax, 1e-30) / 127.0
-    x8 = jnp.round(xf / scale[:, None, :, None])
-    if valid is not None:
-        x8 = jnp.clip(x8, -127, 127)
-    return x8.astype(jnp.int8), scale.reshape(B * H, 1)
-
-
 def _flash_forward(
     q, k, v, block_q, block_k, kv_valid=None, return_lse=False,
     bounded=False, qk_int8=False, k_quant=None,
 ):
     B, N, H, D = q.shape
     scale = D**-0.5
-    out_dtype = q.dtype  # before int8 rebind below — the OUTPUT stays float
     if qk_int8 and return_lse:
         raise ValueError("qk_int8 is a serving-only forward mode (no LSE)")
-
-    if qk_int8:
-        # quantise in the NATIVE layout (see _quant_per_head_native): block
-        # padding below then pads int8 zeros, which is exactly what the old
-        # pad-then-quantise order produced (zeros quantise to zero and the
-        # valid= path already excludes garbage rows from the scales)
-        q, q_scale = _quant_per_head_native(q, valid=kv_valid)
 
     if k_quant is not None:
         # pre-quantised K: (k8 (BH, Nk, D) int8, k_scale (BH, 1) fp32) from
@@ -301,8 +267,6 @@ def _flash_forward(
         qf, vf = to_bhnd(q), to_bhnd(v)
     else:
         Nk = k.shape[1]
-        if qk_int8:
-            k, k_scale = _quant_per_head_native(k, valid=kv_valid)
         qf, kf, vf = to_bhnd(q), to_bhnd(k), to_bhnd(v)
 
     block_q = _pick_block(N, block_q, 8)
@@ -331,10 +295,16 @@ def _flash_forward(
         )
 
     if qk_int8:
-        # per-head combined dequant scale; kv_valid (bucketed serving)
-        # excluded the padded frames' garbage rows from BOTH q and k scales
-        # above — the same valid prefix applies to queries in this
-        # self-attention, and the caller discards the padded query outputs
+        # block-padding rows are zero and quantise to zero (pad-invariant
+        # scales); kv_valid (bucketed serving) additionally excludes the
+        # padded frames' garbage rows from BOTH q and k scales — the same
+        # valid prefix applies to queries in this self-attention, and the
+        # caller discards the padded query outputs
+        qf, q_scale = _quant_per_head(qf, valid=kv_valid)
+        if k_quant is None:
+            kf, k_scale = _quant_per_head(kf, valid=kv_valid)
+        else:
+            k_scale = k_quant[1]
         c = (q_scale * k_scale * scale).astype(jnp.float32)  # (BH, 1)
 
     grid = (B * H, qf.shape[1] // block_q, kf.shape[1] // block_k)
@@ -359,7 +329,7 @@ def _flash_forward(
         inputs.insert(0, c)
 
     out_specs = pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0))
-    out_shape = jax.ShapeDtypeStruct(qf.shape, out_dtype)
+    out_shape = jax.ShapeDtypeStruct(qf.shape, q.dtype)
     if return_lse:
         out_specs = (
             out_specs,
