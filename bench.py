@@ -54,6 +54,7 @@ def _dispatch_modes():
     the code path it ran (the round-4 stream-kernel regression was invisible
     in BENCH_r04.json because the modes block only named quant/dtype modes).
     No dispatch-default change lands without a paired A/B in the commit."""
+    from omnivggt_tpu.models import dpt_head
     from omnivggt_tpu.ops import attention, layers
 
     return {
@@ -62,6 +63,7 @@ def _dispatch_modes():
         "flash_max_rows": attention._FLASH_MAX_ROWS,
         "epilogue_barrier": layers._EPILOGUE_BARRIER,
         "qkv_barrier": layers._QKV_BARRIER,
+        "s2d_head_convs": dpt_head._S2D_HEAD_CONVS,
     }
 
 

@@ -18,6 +18,7 @@ TPU-first details:
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -28,6 +29,21 @@ from omnivggt_tpu.config import DPTHeadConfig
 from omnivggt_tpu.ops import layers as L
 from omnivggt_tpu.ops.activations import activate_head
 from omnivggt_tpu.ops.resize import interpolate
+
+# Space-to-depth rewrite of the two cout<128 output convs (output_conv1
+# 128->64 at 2x-patch res, output_conv2.conv1 64->32 at full res): folds 2x2
+# output pixels into channels so the MXU lanes fill (see L.conv2d_s2d).
+# Exact to the fused conv up to reduction order. Default off until the
+# paired on-chip A/B lands; OMNIVGGT_S2D_HEAD_CONVS=1 opts in.
+_S2D_HEAD_CONVS = os.environ.get("OMNIVGGT_S2D_HEAD_CONVS", "0") != "0"
+
+
+def _conv3x3(p, x, int8=False):
+    """3x3 pad-1 conv, routed through the space-to-depth rewrite when
+    enabled and the spatial dims are even (518px-path shapes always are)."""
+    if _S2D_HEAD_CONVS and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0:
+        return L.conv2d_s2d(p, x, int8=int8)
+    return L.conv2d(p, x, padding=((1, 1), (1, 1)), int8=int8)
 
 
 # ---------------------------------------------------------------------------
@@ -218,8 +234,7 @@ def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
     out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-3:-1], int8=q8)
     out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-3:-1], int8=q8)
     out = _fusion(params["refinenet1"], out, l1, int8=q8)
-    out = L.conv2d(params["output_conv1"], out, padding=((1, 1), (1, 1)),
-                   int8=q8)
+    out = _conv3x3(params["output_conv1"], out, int8=q8)
 
     target = (
         int(ph * cfg.patch_size / cfg.down_ratio),
@@ -230,8 +245,7 @@ def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
         out = _apply_pos_embed(out, W, H)
     if cfg.feature_only:
         return out
-    out = L.conv2d(params["output_conv2"]["conv1"], out,
-                   padding=((1, 1), (1, 1)), int8=q8)
+    out = _conv3x3(params["output_conv2"]["conv1"], out, int8=q8)
     out = jax.nn.relu(out)
     out = L.conv2d(params["output_conv2"]["conv2"], out, padding="VALID")
     return out

@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from omnivggt_tpu.ops.attention import scaled_dot_product_attention
 from omnivggt_tpu.ops.rope import apply_rope
@@ -249,6 +250,52 @@ def qconv2d_int8(p, x: jnp.ndarray, stride=(1, 1), padding="SAME") -> jnp.ndarra
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+def conv2d_s2d(p, x: jnp.ndarray, int8: bool = False) -> jnp.ndarray:
+    """3x3 stride-1 pad-1 conv with 2x2 output pixels folded into channels.
+
+    Exact rewrite for MXU lane occupancy: a cout<128 conv (the DPT output
+    convs, /root/reference/omnivggt/heads/dpt_head.py:101-126: 128->64 at
+    296px and 64->32 at 518px) fills only cout/128 of the MXU lanes, so its
+    roofline is ~cout/128 of peak (profiled r4: ~35 of ~44 TF/s achievable
+    at cout=32). Emitting each 2x2 tile of output pixels as channels of one
+    half-resolution position turns the conv into a single STRIDE-2 4x4 conv
+    with 4*cout output channels — the input is read directly (no
+    space-to-depth relayout; an earlier 2x2-conv-over-s2d-blocks variant
+    paid pad + double-transpose passes on the full-res input and measured
+    -3.7% end-to-end), 16/9 the dense FLOPs (the extra kernel taps are
+    exact zeros) at ~4x the lane occupancy, plus one output depth-to-space
+    pass. Result is numerically the 3x3 conv (the zero-weight taps
+    contribute exact zeros to the same-accumulation-dtype sum).
+
+    Requires a 3x3 kernel and even H, W.
+    """
+    w = p["w"]
+    kh, kw, cin, cout = w.shape
+    B, H, W, _ = x.shape
+    if kh != 3 or kw != 3 or H % 2 or W % 2:
+        raise ValueError(f"conv2d_s2d needs 3x3 kernel and even H,W; got {w.shape}, {x.shape}")
+
+    # Equivalent single stride-2 4x4 conv producing all 4 output sub-pixels
+    # as channels — the input is read DIRECTLY (no space-to-depth relayout
+    # of x; the conv window covers both 2x2 phases):
+    #   W'[ty,tx, ci, (dy,dx,co)] = W[ty-dy, tx-dx, ci, co]   (zero o.o.r.)
+    idx = np.arange(4)[:, None] - np.arange(2)[None, :] + 1  # (tap, d) -> 5-tap axis
+    wpad = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    ky = idx[:, None, :, None]  # axes (ty, tx, dy, dx)
+    kx = idx[None, :, None, :]
+    w4 = wpad[ky, kx]  # (ty,tx,dy,dx,cin,cout)
+    w4 = w4.transpose(0, 1, 4, 2, 3, 5).reshape(4, 4, cin, 4 * cout)
+
+    y = conv2d(
+        {"w": w4}, x, stride=(2, 2), padding=((1, 1), (1, 1)), int8=int8
+    )  # (B, H/2, W/2, 4*cout)
+    y = y.reshape(B, H // 2, W // 2, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(B, H, W, cout)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
 
 
 # ---------------------------------------------------------------------------

@@ -442,6 +442,32 @@ def test_dpt_chunk_padding_prime_frame_count():
         np.testing.assert_allclose(np.asarray(c), np.asarray(w), atol=1e-5, rtol=1e-5)
 
 
+def test_dpt_head_s2d_convs_match_default(monkeypatch):
+    """OMNIVGGT_S2D_HEAD_CONVS routes the two cout<128 output convs through
+    the space-to-depth rewrite; the head output must match the plain-conv
+    path to reduction-order tolerance (and the odd-dims fallback inside
+    _conv3x3 must keep working — 28px gives even dims at both call sites)."""
+    from omnivggt_tpu.models import dpt_head as DH
+
+    cfg_kw = dict(
+        dim_in=64, output_dim=2, activation="exp", features=16,
+        out_channels=(16, 32, 64, 64), intermediate_layer_idx=(0, 0, 1, 1),
+    )
+    B, S, H, W, psi = 1, 3, 28, 28, 5
+    n_patch = (H // 14) * (W // 14)
+    rng = np.random.default_rng(7)
+    buf = jnp.asarray(rng.normal(size=(2, B, S, psi + n_patch, 64)), jnp.float32)
+    cfg = C.DPTHeadConfig(**cfg_kw)
+    params = DH.init(jax.random.PRNGKey(1), cfg)
+
+    monkeypatch.setattr(DH, "_S2D_HEAD_CONVS", False)
+    base = DH.apply(params, buf, cfg, (H, W), psi, (0, 0, 1, 1))
+    monkeypatch.setattr(DH, "_S2D_HEAD_CONVS", True)
+    s2d = DH.apply(params, buf, cfg, (H, W), psi, (0, 0, 1, 1))
+    for a, b in zip(base, s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
 def test_make_aux_validation_errors():
     """make_aux rejects inconsistent modality inputs with clear messages
     (regression: depth without mask used to crash later with an opaque

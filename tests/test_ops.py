@@ -392,6 +392,36 @@ def test_qconv2d_int8_matches_fp_conv():
     np.testing.assert_allclose(out, ref_q, rtol=1e-6, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "cin,cout,hw",
+    [(16, 8, (10, 12)), (16, 8, (2, 2)), (7, 3, (8, 6))],
+)
+def test_conv2d_s2d_matches_conv(cin, cout, hw):
+    """The space-to-depth 2x2-block rewrite of a 3x3 stride-1 pad-1 conv
+    (MXU lane-fill for the cout<128 DPT output convs) is numerically the
+    plain conv: the extra kernel taps are exact zeros."""
+    from omnivggt_tpu.ops.layers import conv2d, conv2d_s2d
+
+    rng = np.random.default_rng(11)
+    H, W = hw
+    x = jnp.asarray(rng.normal(size=(2, H, W, cin)).astype(np.float32))
+    p = {
+        "w": jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(cout,)).astype(np.float32)),
+    }
+    ref = np.asarray(conv2d(p, x, padding=((1, 1), (1, 1))))
+    out = np.asarray(conv2d_s2d(p, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-5)
+
+    # int8 route composes: W8A8 on the transformed kernel tracks the fp conv
+    out8 = np.asarray(conv2d_s2d(p, x, int8=True))
+    assert np.max(np.abs(out8 - ref)) < 0.05 * np.abs(ref).max()
+
+    # odd spatial dims are rejected (the dispatch wrapper falls back)
+    with pytest.raises(ValueError):
+        conv2d_s2d(p, x[:, :-1])
+
+
 @needs_ref
 @pytest.mark.parametrize(
     "mode,align,antialias,in_hw,out_hw",
