@@ -32,6 +32,14 @@ _XLA_MAX_SEQ = 4096
 # B=32: 9.1 vs 14.0; B=64: 16.3 vs 7.8 (XLA's own fused-attention rewrite
 # kicks in at large row counts and wins there)
 _FLASH_MIN_SEQ = 1024
+# B * H. Round-3 measured head-major flash losing to XLA's own fused
+# attention at rows=1024 (11.4 vs 7.2 ms/layer); round-5 re-measured the
+# threshold for the PACKED kernel (its economics differ — no relayout
+# passes) at the S=64 shapes (64,1374/1376,16,64): XLA 8.09 ms vs packed
+# 14.09 (DINO kv=1374; the bounded frame variant's 232-row q blocks
+# VMEM-OOM at B=64), head-major 16.0/16.9 bf16, 15.6/19.4 int8. XLA's
+# fused attention wins ~2x at large row counts against every kernel here
+# — the threshold stands for all of them.
 _FLASH_MAX_ROWS = 512  # B * H
 _BLOCK_K = 1024
 
