@@ -64,6 +64,7 @@ def _dispatch_modes():
         "epilogue_barrier": layers._EPILOGUE_BARRIER,
         "qkv_barrier": layers._QKV_BARRIER,
         "s2d_head_convs": dpt_head._S2D_HEAD_CONVS,
+        "pallas_head_convs": dpt_head._PALLAS_HEAD_CONVS,
     }
 
 

@@ -37,13 +37,32 @@ from omnivggt_tpu.ops.resize import interpolate
 # paired on-chip A/B lands; OMNIVGGT_S2D_HEAD_CONVS=1 opts in.
 _S2D_HEAD_CONVS = os.environ.get("OMNIVGGT_S2D_HEAD_CONVS", "0") != "0"
 
+# Pallas W-folded conv kernel for the same two convs (ops/pallas/conv3x3.py):
+# the XLA-level rewrites above measured NEGATIVE e2e, so the lane-fill fix
+# lives in a kernel that controls the data movement. bf16/fp32 serving only
+# (the kernel defines no VJP; int8 head_quant keeps the XLA conv). Default
+# off until the paired on-chip A/B lands; OMNIVGGT_PALLAS_HEAD_CONVS=1 opts
+# in.
+_PALLAS_HEAD_CONVS = os.environ.get("OMNIVGGT_PALLAS_HEAD_CONVS", "0") != "0"
 
-def _conv3x3(p, x, int8=False):
-    """3x3 pad-1 conv, routed through the space-to-depth rewrite when
-    enabled and the spatial dims are even (518px-path shapes always are)."""
+
+def _conv3x3(p, x, int8=False, relu=False):
+    """3x3 pad-1 conv (+ optional following ReLU, fused into the Pallas
+    kernel when that path is taken), routed through the space-to-depth
+    rewrite or the Pallas folded kernel when enabled and eligible."""
+    if _PALLAS_HEAD_CONVS and not int8 and jax.default_backend() == "tpu":
+        from omnivggt_tpu.ops.pallas.conv3x3 import (
+            conv3x3_eligible,
+            conv3x3_folded,
+        )
+
+        if conv3x3_eligible(x.shape, p["w"].shape):
+            return conv3x3_folded(p, x, relu=relu)
     if _S2D_HEAD_CONVS and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0:
-        return L.conv2d_s2d(p, x, int8=int8)
-    return L.conv2d(p, x, padding=((1, 1), (1, 1)), int8=int8)
+        y = L.conv2d_s2d(p, x, int8=int8)
+    else:
+        y = L.conv2d(p, x, padding=((1, 1), (1, 1)), int8=int8)
+    return jax.nn.relu(y) if relu else y
 
 
 # ---------------------------------------------------------------------------
@@ -245,8 +264,7 @@ def _forward_frames(params, tokens4, cfg: DPTHeadConfig, patch_hw, img_hw):
         out = _apply_pos_embed(out, W, H)
     if cfg.feature_only:
         return out
-    out = _conv3x3(params["output_conv2"]["conv1"], out, int8=q8)
-    out = jax.nn.relu(out)
+    out = _conv3x3(params["output_conv2"]["conv1"], out, int8=q8, relu=True)
     out = L.conv2d(params["output_conv2"]["conv2"], out, padding="VALID")
     return out
 

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: 3x3 stride-1 pad-1 NHWC conv with 2x2 output folding.
+"""Pallas TPU kernel: 3x3 stride-1 pad-1 NHWC conv with W-folded outputs.
 
 Why this exists: the DPT heads' full-resolution output convs
 (/root/reference/omnivggt/heads/dpt_head.py:101-126 — 128->64 at 296px and
@@ -10,23 +10,35 @@ measured WORSE end-to-end (space-to-depth 2x2-block conv -3.7%, stride-2
 4x4 folding -1.4% — see L.conv2d_s2d); the fix has to control the data
 movement, i.e. live in a kernel.
 
-The kernel computes the conv as ONE matmul chain per row-chunk:
-  - the padded input slab for a chunk of 2*rb output rows (rb folded rows)
-    is DMA'd HBM->VMEM with its 1-row/1-col halos (overlapping windows are
-    not expressible as BlockSpec blocks, so the input stays in ANY memory
-    and the kernel slices it explicitly),
-  - the slab is phase-split in VMEM ((2r, 2c) -> (r, c, phase)) and the
-    sixteen 4x4-tap patch slices are concatenated channel-wise in GROUPS
-    (bounding Mosaic stack temporaries), giving matmul operands
-    (rb*W/2, group*cin) against the fold-transformed kernel
-    W'[(ty,tx,ci), (dy,dx,co)] = W[ty-dy, tx-dx, ci, co]  (zero o.o.r.)
-    so every output sub-pixel pair (dy,dx) lands in lanes: 4*cout >= 128
-    fills the MXU for the cout=32/64 convs,
-  - fp32 accumulate + bias (+ optional fused ReLU), unfold back to
-    (2rb, W, cout) in VMEM, one natural-layout store.
+Formulation (probe-driven). On-chip Mosaic layout probes
+(tools/probe_mosaic_layouts.py) show the only vector relayouts that compile
+are major-dim reshape splits, major merges with 16-aligned sublanes, and
+concats/slices shifted along the MAJOR dim — every sublane/lane-offset trick
+(phase-split reshapes, sublane-offset slices, pltpu.roll, strided slices)
+fails to lower. A 3x3 conv needs +/-1 shifts along BOTH spatial dims, so
+exactly one of them can live in the kernel: the y-taps ride the major
+(row) dim in-kernel; the x-taps are pre-expanded by XLA.
 
-The extra taps vs the 3x3 kernel are exact zeros, so the result is the
-plain conv up to fp32 reduction order (parity-tested against lax conv).
+  - fold f = 128//cout output columns into lanes (f=4 for cout=32, f=2 for
+    cout=64): output viewed as (H, W/f, f*cout) fills the 128 MXU lanes,
+  - XLA prepares Xwin[h, wf, (tx, ci)] = xpad[h, wf*f + tx - 1, ci] for
+    tx in [0, f+2): f+2 strided slices stacked into lanes — one
+    bandwidth-bound pass writing (f+2)/f times the input bytes,
+  - the kernel DMAs a (rb+2)-row slab (rb output rows + 1-row halos) and
+    computes THREE MXU matmuls, one per y-tap:
+        acc += Xwin_slab[ty : ty+rb]  reshaped (rb*Wfp, (f+2)cin)
+               @ Wf[ty]               ((f+2)cin, f*cout)
+    (major slice + 16-aligned major merge + 2D matmul: all probe-PASS),
+  - fp32 accumulate + bias (+ optional fused ReLU), one folded-layout store;
+    the unfold (H, Wfp, f, cout) -> (H, W, cout) is a pure lane-split
+    reshape in XLA (dx is the fast index, so no transpose).
+
+The folded weight Wf[ty, (tx,ci), (dx,co)] = W[ty, tx-dx, ci, co] (zero
+out-of-range) carries exact-zero taps, so the result is the plain conv up
+to fp32 reduction order (parity-tested against the lax conv). FLOPs
+overhead vs the dense conv: 3(f+2)/9 = 2.0x at f=4, 1.33x at f=2, plus the
+Wf->Wfp sublane-alignment pad — paid for ~6x lane occupancy.
+
 Forward/serving only: heads run under stop-gradient in inference; training
 uses the XLA conv (this kernel defines no VJP).
 """
@@ -41,83 +53,79 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Per-step VMEM slab budget (bytes). Bounds rb so slab + matmul operand +
+# fp32 accumulator stay well under VMEM alongside the pipeline's other
+# buffers (e.g. 518px f=4: rb=14 -> slab 1.8 MB, total ~5.4 MB).
+_SLAB_BYTES = 2 << 20
 
-def _fold_weights(w: jnp.ndarray) -> jnp.ndarray:
-    """(3,3,cin,cout) HWIO -> (16*cin, 4*cout) folded matmul kernel.
 
-    Row order matches the kernel's patch concatenation: (ty*4+tx)*cin + ci;
-    column order matches its output unfold: (dy*2+dx)*cout + co."""
+def _fold_weights(w: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(3,3,cin,cout) HWIO -> (3, (f+2)*cin, f*cout) folded matmul kernels.
+
+    Wf[ty, (tx,ci), (dx,co)] = W[ty, tx-dx, ci, co], zero out-of-range.
+    Row order matches the kernel's lane layout of Xwin ((tx, ci) in lanes);
+    column order matches the output unfold ((dx, co) in lanes)."""
     cin, cout = w.shape[2], w.shape[3]
-    idx = np.arange(4)[:, None] - np.arange(2)[None, :] + 1  # (tap, d)
-    wpad = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))  # 5-tap axes
-    ky = idx[:, None, :, None]  # axes (ty, tx, dy, dx)
-    kx = idx[None, :, None, :]
-    w4 = wpad[ky, kx]  # (ty,tx,dy,dx,cin,cout)
-    return w4.transpose(0, 1, 4, 2, 3, 5).reshape(16 * cin, 4 * cout)
+    kx = np.arange(f + 2)[:, None] - np.arange(f)[None, :]  # (tap, dx)
+    wpad = jnp.pad(w, ((0, 0), (f - 1, f - 1), (0, 0), (0, 0)))
+    w4 = wpad[:, kx + (f - 1)]  # (3, f+2, f, cin, cout)
+    return w4.transpose(0, 1, 3, 2, 4).reshape(3, (f + 2) * cin, f * cout)
 
 
-def _conv_kernel(
-    x_hbm, w_ref, b_ref, o_ref, xs, sem, *, rb, w2, cin, cout, relu, groups
-):
+def _conv_kernel(x_hbm, w_ref, b_ref, o_ref, xs, sem, *, rb, wfp, kf, relu):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * 2 * rb, 2 * rb + 2)], xs, sem
-    )
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i * rb, rb + 2)], xs, sem)
     cp.start()
     cp.wait()
 
-    # phase split: xs (2rb+2, 2*(w2+1), cin) -> per-(sy,sx) (rb+1, w2+1, cin)
-    xr = xs[:].reshape(rb + 1, 2, w2 + 1, 2, cin)
-    phases = [[xr[:, sy, :, sx, :] for sx in range(2)] for sy in range(2)]
-
-    taps = [(ty, tx) for ty in range(4) for tx in range(4)]
-    per_group = len(taps) // groups
     acc = None
-    for g in range(groups):
-        cols = []
-        for ty, tx in taps[g * per_group : (g + 1) * per_group]:
-            sy, by = ty % 2, ty // 2
-            sx, bx = tx % 2, tx // 2
-            cols.append(phases[sy][sx][by : by + rb, bx : bx + w2, :])
-        patch = jnp.concatenate(cols, axis=-1).reshape(
-            rb * w2, per_group * cin
-        )
-        k0 = g * per_group * cin
+    for ty in range(3):
+        opnd = xs[ty : ty + rb].reshape(rb * wfp, kf)
         part = jax.lax.dot_general(
-            patch,
-            w_ref[pl.ds(k0, per_group * cin), :],
+            opnd,
+            w_ref[ty],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (rb*w2, 4*cout)
+        )
         acc = part if acc is None else acc + part
 
     acc = acc + b_ref[0].astype(jnp.float32)
     if relu:
         acc = jnp.maximum(acc, 0.0)
-    # store the FOLDED layout (rb*w2, 4*cout) — Mosaic rejects the in-kernel
-    # unfold ((rb*w2,128) -> (rb,w2,2,2,cout) splits the lane dim:
-    # "infer-vector-layout: unsupported shape cast"); the depth-to-space
-    # shuffle runs in XLA on the kernel output instead
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _pick_rb(h2: int, lo: int = 6, hi: int = 48) -> int | None:
-    """Largest divisor of h2 in [lo, hi] — the folded-row chunk size.
-    Bounds keep per-step matmuls MXU-sized without blowing VMEM."""
-    for rb in range(hi, lo - 1, -1):
-        if h2 % rb == 0:
-            return rb
-    return None
+def _fold_factor(cout: int) -> int:
+    return max(1, min(4, 128 // cout))
+
+
+def _pick_rb(h: int, wfp: int, kf: int, itemsize: int) -> int | None:
+    """Largest divisor of h whose (rb+2)-row input slab fits _SLAB_BYTES."""
+    best = None
+    for rb in range(2, h + 1):
+        if h % rb == 0 and (rb + 2) * wfp * kf * itemsize <= _SLAB_BYTES:
+            best = rb
+    return best
+
+
+def _geometry(x_shape, w_shape):
+    kh, kw, cin, cout = w_shape
+    H, W = x_shape[-3], x_shape[-2]
+    f = _fold_factor(cout)
+    if kh != 3 or kw != 3 or f < 2:
+        return None
+    wf = -(-W // f)
+    wfp = -(-wf // 16) * 16  # 16-aligned sublanes: the in-kernel major
+    kf = (f + 2) * cin       # merge (rb, Wfp, kf) -> (rb*Wfp, kf) needs it
+    rb = _pick_rb(H, wfp, kf, 2)
+    if rb is None:
+        return None
+    return f, wf, wfp, kf, rb
 
 
 def conv3x3_eligible(x_shape, w_shape) -> bool:
-    kh, kw = w_shape[0], w_shape[1]
-    H, W = x_shape[-3], x_shape[-2]
-    return (
-        kh == 3 and kw == 3 and H % 2 == 0 and W % 2 == 0
-        and _pick_rb(H // 2) is not None
-    )
+    return _geometry(x_shape, w_shape) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("relu",))
@@ -127,51 +135,60 @@ def conv3x3_folded(p, x: jnp.ndarray, relu: bool = False) -> jnp.ndarray:
     p: {"w": (3,3,cin,cout) HWIO, "b": optional (cout,)}. Requires
     conv3x3_eligible; caller falls back to lax conv otherwise."""
     w = p["w"]
-    kh, kw, cin, cout = w.shape
+    cin, cout = w.shape[2], w.shape[3]
     B, H, W, _ = x.shape
-    if not conv3x3_eligible(x.shape, w.shape):
+    geo = _geometry(x.shape, w.shape)
+    if geo is None:
         raise ValueError(f"conv3x3_folded ineligible: {x.shape}, {w.shape}")
-    rb = _pick_rb(H // 2)
-    w2 = W // 2
+    f, wf, wfp, kf, rb = geo
 
-    wf = _fold_weights(w.astype(jnp.float32)).astype(x.dtype)
+    wfold = _fold_weights(w.astype(jnp.float32), f).astype(x.dtype)
     bias = p.get("b")
     bias = jnp.zeros((cout,), jnp.float32) if bias is None else bias
-    bf = jnp.tile(bias.astype(jnp.float32), 4).reshape(1, 4 * cout)
+    bf = jnp.tile(bias.astype(jnp.float32), f).reshape(1, f * cout)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    h2 = H // 2
-    nsteps = h2 // rb
+    # x-tap window expansion (XLA): cols needed are wf*f + tx - 1 for
+    # tx in [0, f+2), i.e. padded cols [0, wf*f + 2); rows get their 1-row
+    # halo here too so the kernel slab is a plain contiguous row range.
+    xp = jnp.pad(
+        x, ((0, 0), (1, 1), (1, wf * f - W + 1), (0, 0))
+    )  # (B, H+2, wf*f + 2, cin)
+    taps = [
+        jax.lax.slice(
+            xp,
+            (0, 0, tx, 0),
+            (B, H + 2, tx + (wf - 1) * f + 1, cin),
+            (1, 1, f, 1),
+        )
+        for tx in range(f + 2)
+    ]  # each (B, H+2, wf, cin)
+    xwin = jnp.stack(taps, axis=3).reshape(B, H + 2, wf, kf)
+    xwin = jnp.pad(xwin, ((0, 0), (0, 0), (0, wfp - wf), (0, 0)))
+
+    nsteps = H // rb
     out = pl.pallas_call(
-        functools.partial(
-            _conv_kernel, rb=rb, w2=w2, cin=cin, cout=cout, relu=relu,
-            # bound the per-group patch buffer (Mosaic stack temporaries):
-            # contraction runs in 4-tap groups for cin 64 (K=256/step), 8
-            # 2-tap groups for cin 128 (K=256)
-            groups=4 if cin <= 64 else 8,
-        ),
+        functools.partial(_conv_kernel, rb=rb, wfp=wfp, kf=kf, relu=relu),
         grid=(B, nsteps),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((16 * cin, 4 * cout), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, 4 * cout), lambda b, i: (0, 0)),
+            pl.BlockSpec((3, kf, f * cout), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, f * cout), lambda b, i: (0, 0)),
         ],
-        # each step writes one whole (rb*w2, 4*cout) folded slab (full-dim
-        # blocks: rb*w2 is not 8-aligned, so tiling a flat row dim instead
-        # would mis-align every block)
         out_specs=pl.BlockSpec(
-            (1, rb * w2, 4 * cout), lambda b, i: (b * nsteps + i, 0, 0)
+            (1, rb * wfp, f * cout), lambda b, i: (b * nsteps + i, 0, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((B * nsteps, rb * w2, 4 * cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B * nsteps, rb * wfp, f * cout), x.dtype
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2 * rb + 2, W + 2, cin), x.dtype),
+            pltpu.VMEM((rb + 2, wfp, kf), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(xp, wf, bf)
-    # depth-to-space unfold in XLA: (B*nsteps, rb*w2, (dy,dx,co)) ->
-    # (B, H, W, cout). One bandwidth-bound pass over the output.
-    out = out.reshape(B, h2, w2, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
-    return out.reshape(B, H, W, cout)
+    )(xwin, wfold, bf)
+    # unfold in XLA: block-major order is (b, i, r) = (b, h), and dx is the
+    # fast lane index, so this is a pure reshape + pad-column slice.
+    out = out.reshape(B, H, wfp, f, cout)[:, :, :wf]
+    return out.reshape(B, H, wf * f, cout)[:, :, :W]

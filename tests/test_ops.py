@@ -891,3 +891,48 @@ def test_flash_attention_packed_stream_gradient_routes_head_major():
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4
                 )
+
+
+def test_conv3x3_folded_parity():
+    """Pallas W-folded 3x3 conv vs the XLA conv: exact up to fp32 reduction
+    order, with and without the fused ReLU, at f=2 (cout 64) and f=4
+    (cout 32), W divisible and not divisible by f, odd H."""
+    from omnivggt_tpu.ops.pallas.conv3x3 import (
+        conv3x3_eligible,
+        conv3x3_folded,
+    )
+    import functools
+    from unittest import mock
+    import jax.experimental.pallas as pl
+
+    rng = np.random.default_rng(23)
+    orig = pl.pallas_call
+    cases = [
+        (2, 24, 22, 64, 32, False),   # f=4, W%f=2 (pad cols), even H
+        (1, 16, 18, 128, 64, True),   # f=2, W%f=0, fused relu
+        (1, 13, 10, 16, 8, True),     # odd H (rb=13), tiny channels, f=4
+    ]
+    with mock.patch.object(
+        pl, "pallas_call", functools.partial(orig, interpret=True)
+    ):
+        for B, H, W, cin, cout, relu in cases:
+            x = jnp.asarray(
+                rng.normal(size=(B, H, W, cin)).astype(np.float32)
+            )
+            p = {
+                "w": jnp.asarray(
+                    rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+                    * 0.1
+                ),
+                "b": jnp.asarray(rng.normal(size=(cout,)).astype(np.float32)),
+            }
+            assert conv3x3_eligible(x.shape, p["w"].shape)
+            out = np.asarray(conv3x3_folded(p, x, relu=relu))
+            ref = L.conv2d(p, x, padding=((1, 1), (1, 1)))
+            if relu:
+                ref = jax.nn.relu(ref)
+            np.testing.assert_allclose(out, np.asarray(ref), atol=2e-5)
+
+    # ineligibility: 3x3 only; cout >= 128 already fills the MXU lanes
+    assert not conv3x3_eligible((1, 12, 10, 16), (1, 1, 16, 8))
+    assert not conv3x3_eligible((1, 12, 10, 128), (3, 3, 128, 128))
