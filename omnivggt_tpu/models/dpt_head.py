@@ -30,19 +30,21 @@ from omnivggt_tpu.ops import layers as L
 from omnivggt_tpu.ops.activations import activate_head
 from omnivggt_tpu.ops.resize import interpolate
 
-# Space-to-depth rewrite of the two cout<128 output convs (output_conv1
-# 128->64 at 2x-patch res, output_conv2.conv1 64->32 at full res): folds 2x2
-# output pixels into channels so the MXU lanes fill (see L.conv2d_s2d).
-# Exact to the fused conv up to reduction order. Default off until the
-# paired on-chip A/B lands; OMNIVGGT_S2D_HEAD_CONVS=1 opts in.
+# Space-to-depth rewrite of the cout<128 output convs: folds 2x2 output
+# pixels into channels so the MXU lanes fill (see L.conv2d_s2d). Exact to
+# the fused conv up to reduction order. Measured NEGATIVE e2e (-3.7%);
+# kept as a probe, OMNIVGGT_S2D_HEAD_CONVS=1 opts in.
 _S2D_HEAD_CONVS = os.environ.get("OMNIVGGT_S2D_HEAD_CONVS", "0") != "0"
 
-# Pallas W-folded conv kernel for the same two convs (ops/pallas/conv3x3.py):
-# the XLA-level rewrites above measured NEGATIVE e2e, so the lane-fill fix
-# lives in a kernel that controls the data movement. bf16/fp32 serving only
-# (the kernel defines no VJP; int8 head_quant keeps the XLA conv). Default
-# off until the paired on-chip A/B lands; OMNIVGGT_PALLAS_HEAD_CONVS=1 opts
-# in.
+# Pallas W-folded conv kernel (ops/pallas/conv3x3.py). On the flagship
+# (features=256) the only fold-eligible conv is output_conv2.conv1
+# (128->32 at 518px; output_conv1 is 256->128, f=1). Measured NEGATIVE
+# e2e (-10.3% S=8, paired BENCH_ITERS=60): the kernel beats the XLA conv
+# 2.2x but the XLA-side tap expansion re-materialises the 549 MB conv
+# input in uncoalesced strided slices — see the kernel docstring for the
+# full trace-backed account. Probe only; OMNIVGGT_PALLAS_HEAD_CONVS=1
+# opts in. bf16/fp32 serving only (no VJP; int8 head_quant keeps the XLA
+# conv).
 _PALLAS_HEAD_CONVS = os.environ.get("OMNIVGGT_PALLAS_HEAD_CONVS", "0") != "0"
 
 

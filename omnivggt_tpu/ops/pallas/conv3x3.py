@@ -1,14 +1,38 @@
 """Pallas TPU kernel: 3x3 stride-1 pad-1 NHWC conv with W-folded outputs.
 
-Why this exists: the DPT heads' full-resolution output convs
-(/root/reference/omnivggt/heads/dpt_head.py:101-126 — 128->64 at 296px and
-64->32 at 518px per head) are the single largest off-trunk block of the S=8
-forward (~29 ms of ~377). XLA's conv lowering runs them at ~8-21 TF/s
-(tools/bench_s2d_conv.py): cout<128 fills a fraction of the MXU lanes and
-the lowering pays relayouts the shape doesn't need. XLA-level rewrites
-measured WORSE end-to-end (space-to-depth 2x2-block conv -3.7%, stride-2
-4x4 folding -1.4% — see L.conv2d_s2d); the fix has to control the data
-movement, i.e. live in a kernel.
+STATUS: measured NEGATIVE end-to-end on the flagship — default OFF, kept as
+a probe (OMNIVGGT_PALLAS_HEAD_CONVS=1). Paired A/B/B/A at BENCH_ITERS=60:
+S=8 21.26/21.26 off vs 19.07/19.08 on (-10.3%), S=64 6.63 vs 6.39. Why the
+microbench (3x the XLA conv) didn't transfer, from the device trace:
+
+  1. The microbench shapes were wrong for the flagship. With features=256
+     heads, the only fold-eligible conv is output_conv2.conv1 = 128->32 at
+     518px (output_conv1 is 256->128, f=1, ineligible). In-model XLA runs
+     that conv+bias at 35.6 TF/s / 4.43 ms per head (trace fusion.707/715)
+     — not the 8.5 TF/s of the 64->32 cin=64 shape the microbench timed
+     (a pathological XLA lowering the flagship never hits).
+  2. The kernel itself runs the real shape at ~2 ms (~79 TF/s
+     dense-equivalent), a ~2.4 ms/head win — but the XLA-side tap
+     expansion has to re-materialise the 549 MB conv input: in the full
+     model it lowered to 12 strided slices (~1.24 ms EACH; stride-f reads
+     are uncoalesced), pads, and layout copies around the custom call,
+     ~40 ms of added data movement vs ~9 ms of conv removed. An
+     optimization_barrier on x (kept below) does not change this — the
+     cost is the expansion itself, not producer duplication.
+  3. A bitcast-friendly prep (view (W,cin) as (wf, f*cin) contiguously +
+     one lane concat) still needs >= 2 full passes over the 549 MB input
+     (~4-5 ms/head at HBM roofline) and so cannot beat the 4.9 ms total
+     win; an all-in-kernel formulation needs +/-1 lane/sublane shifts that
+     Mosaic's layout rules reject (tools/probe_mosaic_layouts.py). At
+     cin=128 the relayout cost exceeds the lane-fill win on this hardware.
+     Don't retry without a Mosaic that can shift sublanes.
+
+Original premise (kept for context): the DPT heads' full-resolution output
+convs (/root/reference/omnivggt/heads/dpt_head.py:101-126) underfill the
+MXU lanes at cout<128, so fold f=128/cout output columns into lanes. The
+kernel IS 2.2x the XLA conv at the real flagship shape — the loss is all
+relayout. XLA-level rewrites measured worse still (space-to-depth -3.7%,
+stride-2 4x4 folding -1.4% — see L.conv2d_s2d).
 
 Formulation (probe-driven). On-chip Mosaic layout probes
 (tools/probe_mosaic_layouts.py) show the only vector relayouts that compile
@@ -150,6 +174,13 @@ def conv3x3_folded(p, x: jnp.ndarray, relu: bool = False) -> jnp.ndarray:
     # x-tap window expansion (XLA): cols needed are wf*f + tx - 1 for
     # tx in [0, f+2), i.e. padded cols [0, wf*f + 2); rows get their 1-row
     # halo here too so the kernel slab is a plain contiguous row range.
+    # The barrier keeps x's producer OUT of the f+2 tap slices: in the full
+    # model the conv input is a bilinear interpolate (+ pos-embed add), and
+    # XLA duplicates that whole gather+lerp chain into EVERY tap consumer —
+    # profiled at 3x24 ms of add_multiply fusions per forward (vs 8 ms of
+    # actual kernel time), turning the kernel's microbench win into a -10%
+    # e2e loss. Materialising x once restores the microbench economics.
+    x = jax.lax.optimization_barrier(x)
     xp = jnp.pad(
         x, ((0, 0), (1, 1), (1, wf * f - W + 1), (0, 0))
     )  # (B, H+2, wf*f + 2, cin)

@@ -62,9 +62,17 @@ def chain(conv_fn, p):
 
 def main():
     shapes = [
-        # (name, B, H, W, cin, cout) — the two DPT output convs at S=8 chunk
-        ("output_conv2.conv1 518px 64->32", 8, 518, 518, 64, 32),
-        ("output_conv1 296px 128->64", 8, 296, 296, 128, 64),
+        # (name, B, H, W, cin, cout) — the DPT output convs at the S=8 chunk.
+        # FLAGSHIP shapes (features=256): output_conv2.conv1 is 128->32 at
+        # 518px (the only fold-eligible conv; output_conv1 is 256->128, f=1).
+        # In-model XLA runs the 518px conv at 35.6 TF/s (4.43 ms, trace
+        # fusion.707/715) — NOT the 8.5 TF/s the earlier 64->32 shape
+        # measured; that cin=64 shape (a smaller config) hits a pathological
+        # XLA lowering the flagship never sees. Kept last as a regression
+        # probe of that lowering.
+        ("output_conv2.conv1 518px 128->32 [flagship]", 8, 518, 518, 128, 32),
+        ("output_conv1 148px 256->128 [flagship]", 8, 148, 148, 256, 128),
+        ("64->32 518px [non-flagship, pathological XLA]", 8, 518, 518, 64, 32),
     ]
     rng = np.random.RandomState(0)
     dtype = jnp.bfloat16 if os.environ.get("DTYPE", "bf16") == "bf16" else jnp.float32
