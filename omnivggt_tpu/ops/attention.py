@@ -43,6 +43,20 @@ _FLASH_MIN_SEQ = 1024
 _FLASH_MAX_ROWS = 512  # B * H
 _BLOCK_K = 1024
 
+# HBM cap on the materialised fp32 score tensor for the "xla" impl. XLA's
+# own fused-attention rewrite usually streams the scores, but the DINO
+# sublane-pad path (q N=1376 against a statically sliced 1374-key K) breaks
+# that pattern-match and the scores materialise as a real fusion output:
+# f32[96,16,1376,1374] = 11.09 GB single-handedly OOMs the 15.75 GB chip at
+# S=96 (compile error, round 5) — while S=64's 7.37 GB compiles AND XLA
+# still beats every kernel here 2x at those shapes (8.09 ms vs packed
+# 14.09 / head-major 16.0). So: keep xla while the worst-case score tensor
+# fits comfortably, and above the cap route to the head-major flash kernel,
+# whose key streaming needs O(N * block) memory at any row count.
+_XLA_MAX_SCORE_BYTES = int(
+    float(os.environ.get("OMNIVGGT_XLA_MAX_SCORE_BYTES", "8e9"))
+)
+
 
 # finite "minus infinity": true -inf hits VPU special-value slow paths on TPU
 # and is far below any real logit either way
@@ -74,9 +88,19 @@ def packed_eligible(q_shape, n_keys: int) -> bool:
     K), and the packed kernel holds the whole key axis in one VMEM block, so
     eligibility is bounded by n_keys, never by q's length (q is blocked)."""
     D = q_shape[-1]
+    rows = q_shape[0] * q_shape[-2]  # B * H
     # D in {64, 128}: static 64-lane head slices inside the kernel; other
-    # head dims would need masked lane addressing (nothing here uses them)
-    return _PACKED_ATTN and n_keys <= _PACKED_MAX_KEYS and D in (64, 128)
+    # head dims would need masked lane addressing (nothing here uses them).
+    # rows <= _FLASH_MAX_ROWS: above it, flash is only ever reached via the
+    # score-bytes escape hatch (S >= 96), where the packed bounded variant's
+    # 232-row q blocks VMEM-OOM (measured at B=64) — the head-major kernel,
+    # whose VMEM use is row-count-independent, serves those shapes.
+    return (
+        _PACKED_ATTN
+        and n_keys <= _PACKED_MAX_KEYS
+        and D in (64, 128)
+        and rows <= _FLASH_MAX_ROWS
+    )
 
 
 # token-major STREAMING kernel for long (global-attention) flash shapes:
@@ -206,6 +230,11 @@ def resolve_impl(shape, impl: str = "auto") -> str:
     ):
         return "flash"
     if N <= _XLA_MAX_SEQ:
+        # xla materialises an fp32 (B, H, N, N) score tensor when its
+        # fused-attention rewrite doesn't fire (see _XLA_MAX_SCORE_BYTES):
+        # above the cap, stream the keys instead of OOMing the chip.
+        if rows * N * N * 4 > _XLA_MAX_SCORE_BYTES:
+            return "flash" if on_tpu else "blockwise"
         return "xla"
     return "blockwise"
 

@@ -936,3 +936,28 @@ def test_conv3x3_folded_parity():
     # ineligibility: 3x3 only; cout >= 128 already fills the MXU lanes
     assert not conv3x3_eligible((1, 12, 10, 16), (1, 1, 16, 8))
     assert not conv3x3_eligible((1, 12, 10, 128), (3, 3, 128, 128))
+
+
+def test_attention_dispatch_score_bytes_cap():
+    """Shapes whose materialised fp32 scores exceed _XLA_MAX_SCORE_BYTES
+    must never resolve to "xla": at S=96 the DINO attention's
+    f32[96,16,1376,1374] score tensor (11.09 GB) OOMed the 15.75 GB chip
+    (round 5) because the sublane-pad static K slice defeats XLA's
+    fused-attention rewrite. On TPU these route to the head-major flash
+    kernel; off-TPU to the blockwise streaming softmax."""
+    from omnivggt_tpu.ops import attention as A
+
+    # S=96 frame/DINO shapes: 96*16*1374^2*4 = 11.06e9 > 8e9 cap
+    assert A.resolve_impl((96, 1374, 16, 64)) != "xla"
+    assert A.resolve_impl((96, 1376, 16, 64)) != "xla"
+    # S=64 stays xla (7.37e9 under the cap; XLA measured 2x the kernels)
+    assert A.resolve_impl((64, 1374, 16, 64)) == "xla"
+    assert A.resolve_impl((8, 1374, 16, 64)) in ("flash", "xla")
+
+    # the escape hatch must not reach the packed kernel: its bounded
+    # variant's 232-row q blocks VMEM-OOM at B>=64 (measured), so
+    # eligibility is row-capped and big-row shapes take head-major flash
+    assert not A.packed_eligible((96, 1374, 16, 64), 1374)
+    assert not A.packed_eligible((64, 1374, 16, 64), 1374)
+    if A._PACKED_ATTN:
+        assert A.packed_eligible((8, 1374, 16, 64), 1374)
