@@ -61,6 +61,8 @@ def _dispatch_modes():
         "packed_attn": attention._PACKED_ATTN,
         "stream_attn": attention._STREAM_ATTN,
         "flash_max_rows": attention._FLASH_MAX_ROWS,
+        "xla_max_score_bytes": attention._XLA_MAX_SCORE_BYTES,
+        "mismatch_flash": attention._MISMATCH_FLASH,
         "epilogue_barrier": layers._EPILOGUE_BARRIER,
         "qkv_barrier": layers._QKV_BARRIER,
         "s2d_head_convs": dpt_head._S2D_HEAD_CONVS,

@@ -57,6 +57,10 @@ _XLA_MAX_SCORE_BYTES = int(
     float(os.environ.get("OMNIVGGT_XLA_MAX_SCORE_BYTES", "8e9"))
 )
 
+# reroute statically-sliced-K xla attention to the head-major flash kernel
+# at rows > _FLASH_MAX_ROWS (see mismatched_xla_reroutes); =0 opts out
+_MISMATCH_FLASH = os.environ.get("OMNIVGGT_MISMATCH_FLASH", "1") != "0"
+
 
 # finite "minus infinity": true -inf hits VPU special-value slow paths on TPU
 # and is far below any real logit either way
@@ -277,10 +281,35 @@ def _sdpa_jit(
                 q, k, v, kv_valid=kv_valid, qk_int8=qk_int8
             )
         return flash_attention(
-            q, k, v, kv_valid=kv_valid, bounded_logits=bounded_logits,
+            q, k, v,
+            kv_valid=kv_static if kv_static is not None else kv_valid,
+            bounded_logits=bounded_logits,
             qk_int8=qk_int8,
         )
     raise ValueError(f"unknown attention impl: {impl}")
+
+
+def mismatched_xla_reroutes(q_shape, kv_valid: int) -> bool:
+    """Whether a static valid-prefix that SHORTENS K below q's length must
+    bypass the "xla" impl for the head-major flash kernel.
+
+    A statically sliced K (valid-prefix != q length) defeats XLA's
+    fused-attention rewrite IN-MODEL even though the same shapes fuse when
+    benchmarked standalone: the S=64 device trace shows the DINO attention
+    (q N=1376, K sliced to 1374) materialising its fp32 [64,16,1376,1374]
+    scores — 12.7 ms score matmul + 21.5 ms softmax*V per layer vs ~17 ms
+    for the head-major flash kernel — and at S=96 the 11.09 GB score temp
+    OOMs the 15.75 GB chip outright at compile. Equal-length q/k (frame
+    attention) DOES fuse in-model at these row counts, so only the
+    mismatched case reroutes; at rows <= _FLASH_MAX_ROWS resolve_impl
+    already picks flash/packed and this never applies."""
+    B, N, H, _ = q_shape
+    return (
+        _MISMATCH_FLASH
+        and B * H > _FLASH_MAX_ROWS
+        and kv_valid != N
+        and jax.default_backend() == "tpu"
+    )
 
 
 def scaled_dot_product_attention(
@@ -314,7 +343,10 @@ def scaled_dot_product_attention(
     kv_static = None
     if kv_valid is not None and isinstance(kv_valid, (int, np.integer)):
         impl_r = resolve_impl(q.shape, impl)
-        if impl_r == "xla":
+        if impl_r == "xla" and mismatched_xla_reroutes(q.shape, int(kv_valid)):
+            impl = "flash"
+            kv_static, kv_valid = int(kv_valid), None
+        elif impl_r == "xla":
             k, v = k[:, : int(kv_valid)], v[:, : int(kv_valid)]
             kv_valid = None
         elif impl_r == "flash" and packed_eligible(q.shape, k.shape[1]):

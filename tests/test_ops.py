@@ -961,3 +961,25 @@ def test_attention_dispatch_score_bytes_cap():
     assert not A.packed_eligible((64, 1374, 16, 64), 1374)
     if A._PACKED_ATTN:
         assert A.packed_eligible((8, 1374, 16, 64), 1374)
+
+
+def test_mismatched_static_kv_reroutes_off_xla():
+    """A static valid-prefix that shortens K below q's length must bypass
+    xla attention at rows > _FLASH_MAX_ROWS (the sliced-K pattern defeats
+    XLA's fused-attention rewrite in-model — S=64 trace: 34 ms/layer
+    materialised vs ~17 flash; S=96: 11.09 GB OOM). Equal-length q/k and
+    small-row shapes keep their current dispatch."""
+    from unittest import mock
+
+    from omnivggt_tpu.ops import attention as A
+
+    with mock.patch.object(A.jax, "default_backend", return_value="tpu"):
+        # S=64 DINO: q N=1376, K valid prefix 1374, rows=1024 -> reroute
+        assert A.mismatched_xla_reroutes((64, 1376, 16, 64), 1374)
+        # equal length (frame attention) fuses in-model -> keep xla
+        assert not A.mismatched_xla_reroutes((64, 1374, 16, 64), 1374)
+        # small rows never reach this path via resolve_impl, and the
+        # predicate itself is row-gated
+        assert not A.mismatched_xla_reroutes((8, 1376, 16, 64), 1374)
+    # off-TPU (CPU tests, tiny models): never reroutes
+    assert not A.mismatched_xla_reroutes((64, 1376, 16, 64), 1374)
