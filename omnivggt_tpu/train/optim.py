@@ -95,6 +95,10 @@ def make_finetune_optimizer(
 ):
     """AdamW with warmup-cosine LR, masked weight decay and layer-wise decay —
     the fine-tuning recipe the reference's dead trainer sketched."""
+    # short smoke runs (--steps 3) would give the cosine a negative decay
+    # length with the default warmup; clamp so warmup always fits inside
+    # the run with at least one decay step
+    warmup_steps = min(warmup_steps, max(total_steps - 1, 0))
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, learning_rate, warmup_steps, total_steps, learning_rate * 0.05
     )

@@ -67,6 +67,7 @@ def make_train_step(
     use_aux_inputs: bool = False,
     remat=True,  # True/'full' = save nothing; 'dots' = keep matmul outputs
     seed: int = 0,
+    state_sharding: str = "none",  # "none" | "zero2" | "fsdp"
 ):
     """Returns train_step(state, batch) -> (state, metrics).
 
@@ -76,6 +77,15 @@ def make_train_step(
 
     Stochastic depth (cfg.aggregator.drop_path_rate > 0) draws a fresh rng
     per step by folding the step counter into `seed`.
+
+    state_sharding (requires `sharding`): ZeRO-style distributed state via
+    GSPMD annotations (parallel/fsdp.py). "zero2" reduce-scatters gradients
+    and shards the AdamW moments over the whole mesh (params replicated);
+    "fsdp" shards the params too (all-gathered per use). Numerically
+    identical to "none" up to reduction order; required for the 1.2B
+    flagship, whose replicated fp32 state (19.5 GB/chip) over-fills a v5e
+    at any mesh size. Initialise the state with fsdp.sharded_init so it is
+    *born* sharded.
     """
     if (cfg.trunk_quant != "none" or cfg.attn_quant != "none"
             or cfg.head_quant != "none"):
@@ -84,6 +94,19 @@ def make_train_step(
             "trunk_quant/attn_quant/head_quant are serving-only fast modes "
             "(round() kills the gradient); train with all set to 'none'"
         )
+    if state_sharding != "none":
+        from omnivggt_tpu.parallel import fsdp as FS
+
+        if state_sharding not in FS.STATE_SHARDING_MODES:
+            raise ValueError(
+                f"state_sharding={state_sharding!r}; expected one of "
+                f"{FS.STATE_SHARDING_MODES}"
+            )
+        if sharding is None:
+            raise ValueError(
+                "state_sharding needs a ModelSharding (its mesh is the "
+                "axis set the state shards over)"
+            )
     base_rng = jax.random.PRNGKey(seed)
 
     def loss_fn(params, batch, step):
@@ -119,12 +142,25 @@ def make_train_step(
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, state.step
         )
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if state_sharding != "none":
+            # the ZeRO scatter point: constraining the gradient tree here
+            # turns the data-parallel all-reduce into reduce-scatter, and
+            # everything downstream (moments, updates) stays sharded
+            grads = FS.constrain_tree(grads, sharding.mesh)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
-        metrics = dict(losses)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if state_sharding == "zero2":
+            # params re-replicate (the update all-gathers); weights then
+            # read with zero gather traffic in the next forward
+            params = FS.replicate_tree(params, sharding.mesh)
+        elif state_sharding == "fsdp":
+            params = FS.constrain_tree(params, sharding.mesh)
+        if state_sharding != "none":
+            opt_state = FS.constrain_tree(opt_state, sharding.mesh)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

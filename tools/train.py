@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--drop_path", type=float, default=0.0)
     ap.add_argument("--mesh", help="data,seq device mesh (e.g. 1,8)")
+    ap.add_argument("--state_sharding", default="none",
+                    choices=("none", "zero2", "fsdp"),
+                    help="ZeRO-style state sharding over the mesh: zero2 "
+                         "shards grads + AdamW moments, fsdp also shards "
+                         "params (required for the 1.2B flagship, whose "
+                         "replicated fp32 state is 19.5 GB/chip)")
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -117,22 +123,37 @@ def main():
         warmup_steps=args.warmup,
         total_steps=args.steps,
     )
+    if args.state_sharding != "none" and sharding is None:
+        raise SystemExit("--state_sharding requires --mesh")
     train_step = make_train_step(
         cfg, optimizer, sharding,
         use_aux_inputs=True, remat=not args.no_remat, seed=args.seed,
+        state_sharding=args.state_sharding,
     )
     state = resume_or_init(args.ckpt_dir, init_state(params, optimizer))
     start = int(state.step)
     if start:
         print(f"resumed from {args.ckpt_dir} at step {start}")
     if sharding is not None:
-        # a restored state sits on one device; replicate it over the mesh so
-        # it is compatible with the mesh-sharded batches
+        # a restored state sits on one device; lay it out over the mesh —
+        # fully replicated (the classic DDP layout), or ZeRO-sharded so the
+        # moments (and params, under fsdp) never materialise replicated
         from jax.sharding import NamedSharding, PartitionSpec
 
-        state = jax.device_put(
-            state, NamedSharding(sharding.mesh, PartitionSpec())
-        )
+        if args.state_sharding != "none":
+            from omnivggt_tpu.parallel import fsdp
+
+            state = jax.device_put(
+                state,
+                fsdp.state_shardings(
+                    jax.eval_shape(lambda: state),
+                    sharding.mesh, args.state_sharding,
+                ),
+            )
+        else:
+            state = jax.device_put(
+                state, NamedSharding(sharding.mesh, PartitionSpec())
+            )
 
     if args.data_root:
         from omnivggt_tpu.data.dataset import SceneDataset, prefetch
